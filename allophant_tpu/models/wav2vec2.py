@@ -1,0 +1,315 @@
+"""wav2vec2/XLS-R-style speech encoder in flax, returning all hidden states.
+
+TPU-native reimplementation of the acoustic model the reference wraps
+(/root/reference/allophant/network/acoustic_model.py:775-905 wraps HF
+``Wav2Vec2Model``). The numerical semantics mirror the public HuggingFace
+architecture (conv feature encoder, feature projection, grouped convolutional
+positional embeddings, pre-LN ("stable layer norm") or post-LN transformer encoder)
+so that released XLS-R-based checkpoints produce identical activations; see
+``tests/test_wav2vec2_parity.py`` for the parity harness against HF torch.
+
+Design differences from the torch implementation, driven by XLA/TPU:
+- Batch-first [B, T, D] layout throughout; static padded shapes with integer lengths
+  (masks computed inside jit, no dynamic shapes).
+- The positional-conv weight norm is folded into a plain kernel at load time.
+- Attention uses one fused QKV-style einsum path per layer with an additive bias.
+- Compute dtype is configurable (bf16 on TPU) with f32 parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from allophant_tpu.ops import masking
+
+# Large negative logit standing in for -inf in masked attention; matches torch's
+# dtype-min semantics closely enough after softmax while staying bf16-safe.
+_MASK_BIAS = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Architecture:
+    """Static architecture hyperparameters (mirrors the public wav2vec2 config)."""
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: Tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = True
+    feat_extract_norm: str = "layer"  # "layer" (XLS-R) or "group" (base wav2vec2)
+    do_stable_layer_norm: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    feat_proj_dropout: float = 0.0
+    do_normalize: bool = True
+    use_attention_mask: bool = True
+
+    @classmethod
+    def from_hf_config(cls, config) -> "Wav2Vec2Architecture":
+        """Builds from a HuggingFace ``Wav2Vec2Config`` (or plain dict)."""
+        get = config.get if isinstance(config, dict) else lambda key, default=None: getattr(config, key, default)
+        return cls(
+            hidden_size=get("hidden_size", 1024),
+            num_hidden_layers=get("num_hidden_layers", 24),
+            num_attention_heads=get("num_attention_heads", 16),
+            intermediate_size=get("intermediate_size", 4096),
+            conv_dim=tuple(get("conv_dim", (512,) * 7)),
+            conv_kernel=tuple(get("conv_kernel", (10, 3, 3, 3, 3, 2, 2))),
+            conv_stride=tuple(get("conv_stride", (5, 2, 2, 2, 2, 2, 2))),
+            conv_bias=get("conv_bias", True),
+            feat_extract_norm=get("feat_extract_norm", "layer"),
+            do_stable_layer_norm=get("do_stable_layer_norm", True),
+            num_conv_pos_embeddings=get("num_conv_pos_embeddings", 128),
+            num_conv_pos_embedding_groups=get("num_conv_pos_embedding_groups", 16),
+            layer_norm_eps=get("layer_norm_eps", 1e-5),
+            hidden_dropout=get("hidden_dropout", 0.1),
+            activation_dropout=get("activation_dropout", 0.1),
+            attention_dropout=get("attention_dropout", 0.1),
+            feat_proj_dropout=get("feat_proj_dropout", 0.0),
+        )
+
+    def downsampled_lengths(self, lengths):
+        """CTC frame counts after the conv feature extractor (no padding), matching
+        torch Conv1d length math (reference acoustic_model.py:823-835)."""
+        return masking.stacked_conv_output_lengths(lengths, self.conv_kernel, self.conv_stride)
+
+    def truncated(self, maximum_encoder_layers: Optional[int]) -> "Wav2Vec2Architecture":
+        """Limits encoder depth to the highest required intermediate tap (reference
+        acoustic_model.py:800-802, 932-941)."""
+        if maximum_encoder_layers is None or maximum_encoder_layers >= self.num_hidden_layers:
+            return self
+        return dataclasses.replace(self, num_hidden_layers=maximum_encoder_layers)
+
+
+class ConvFeatureEncoder(nn.Module):
+    """Stack of strided 1D convolutions over raw audio: [B, T] -> [B, T', C]."""
+
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio):
+        arch = self.architecture
+        hidden = audio[:, :, None].astype(self.dtype)  # [B, T, 1]
+        for layer_id, (out_dim, kernel, stride) in enumerate(
+            zip(arch.conv_dim, arch.conv_kernel, arch.conv_stride)
+        ):
+            if arch.feat_extract_norm == "layer":
+                use_bias = arch.conv_bias
+            else:
+                # "group" mode: only the first conv has a bias (per HF NoLayerNormConvLayer).
+                use_bias = arch.conv_bias
+            hidden = nn.Conv(
+                features=out_dim,
+                kernel_size=(kernel,),
+                strides=(stride,),
+                padding="VALID",
+                use_bias=use_bias,
+                dtype=self.dtype,
+                name=f"conv_{layer_id}",
+            )(hidden)
+            if arch.feat_extract_norm == "layer":
+                hidden = nn.LayerNorm(
+                    epsilon=arch.layer_norm_eps, dtype=self.dtype, name=f"layer_norm_{layer_id}"
+                )(hidden)
+            elif layer_id == 0:
+                # Base wav2vec2: group norm (num_groups == channels) after the first conv.
+                hidden = nn.GroupNorm(
+                    num_groups=out_dim, epsilon=arch.layer_norm_eps, dtype=self.dtype, name="group_norm"
+                )(hidden)
+            hidden = nn.gelu(hidden, approximate=False)
+        return hidden
+
+
+class FeatureProjection(nn.Module):
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, deterministic: bool = True):
+        arch = self.architecture
+        normed = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(features)
+        projected = nn.Dense(arch.hidden_size, dtype=self.dtype, name="projection")(normed)
+        return nn.Dropout(arch.feat_proj_dropout)(projected, deterministic=deterministic)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped convolutional relative position embeddings (kernel 128, 16 groups).
+
+    The torch version parametrizes the kernel with weight norm; the checkpoint
+    converter folds g * v / ||v|| into the plain kernel stored here."""
+
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        arch = self.architecture
+        kernel = arch.num_conv_pos_embeddings
+        embeddings = nn.Conv(
+            features=arch.hidden_size,
+            kernel_size=(kernel,),
+            padding=[(kernel // 2, kernel // 2)],
+            feature_group_count=arch.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="conv",
+        )(hidden)
+        if kernel % 2 == 0:
+            # torch pads kernel//2 on both sides then trims the trailing frame.
+            embeddings = embeddings[:, :-1]
+        return nn.gelu(embeddings, approximate=False)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with additive bias, matching HF parameter layout
+    (q/k/v/out projections with bias)."""
+
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, deterministic: bool = True):
+        arch = self.architecture
+        heads = arch.num_attention_heads
+        head_dim = arch.hidden_size // heads
+        batch, time, _ = hidden.shape
+
+        def project(name):
+            return nn.Dense(arch.hidden_size, dtype=self.dtype, name=name)(hidden).reshape(
+                batch, time, heads, head_dim
+            )
+
+        query = project("q_proj") * head_dim**-0.5
+        key = project("k_proj")
+        value = project("v_proj")
+
+        logits = jnp.einsum("bthd,bshd->bhts", query, key)
+        if attention_bias is not None:
+            logits = logits + attention_bias
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        weights = nn.Dropout(arch.attention_dropout)(weights, deterministic=deterministic)
+        context = jnp.einsum("bhts,bshd->bthd", weights, value).reshape(batch, time, arch.hidden_size)
+        return nn.Dense(arch.hidden_size, dtype=self.dtype, name="out_proj")(context)
+
+
+class FeedForward(nn.Module):
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, deterministic: bool = True):
+        arch = self.architecture
+        hidden = nn.Dense(arch.intermediate_size, dtype=self.dtype, name="intermediate_dense")(hidden)
+        hidden = nn.gelu(hidden, approximate=False)
+        hidden = nn.Dropout(arch.activation_dropout)(hidden, deterministic=deterministic)
+        hidden = nn.Dense(arch.hidden_size, dtype=self.dtype, name="output_dense")(hidden)
+        return nn.Dropout(arch.hidden_dropout)(hidden, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    """Transformer encoder layer: pre-LN ("stable layer norm", XLS-R) or post-LN."""
+
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attention_bias, deterministic: bool = True):
+        arch = self.architecture
+        stable = arch.do_stable_layer_norm
+
+        residual = hidden
+        attention_input = (
+            nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
+            if stable
+            else hidden
+        )
+        attention_output = SelfAttention(arch, self.dtype, name="attention")(
+            attention_input, attention_bias, deterministic
+        )
+        attention_output = nn.Dropout(arch.hidden_dropout)(attention_output, deterministic=deterministic)
+        hidden = residual + attention_output
+        if not stable:
+            hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
+
+        feed_forward_input = (
+            nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(hidden)
+            if stable
+            else hidden
+        )
+        hidden = hidden + FeedForward(arch, self.dtype, name="feed_forward")(feed_forward_input, deterministic)
+        if not stable:
+            hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(hidden)
+        return hidden
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Encoder stack collecting every layer's input plus the final (normed) output —
+    the ``output_hidden_states`` contract the reference consumes for its intermediate
+    classifier taps."""
+
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, pad_mask, deterministic: bool = True) -> List[jnp.ndarray]:
+        arch = self.architecture
+        if pad_mask is not None:
+            # Zero padded positions so the positional conv sees silence there.
+            hidden = hidden * pad_mask[:, :, None].astype(hidden.dtype)
+            attention_bias = (~pad_mask)[:, None, None, :].astype(jnp.float32) * _MASK_BIAS
+        else:
+            attention_bias = None
+
+        position_embeddings = PositionalConvEmbedding(arch, self.dtype, name="pos_conv_embed")(hidden)
+        hidden = hidden + position_embeddings
+        if not arch.do_stable_layer_norm:
+            hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
+        hidden = nn.Dropout(arch.hidden_dropout)(hidden, deterministic=deterministic)
+
+        hidden_states = [hidden]
+        for layer_id in range(arch.num_hidden_layers):
+            hidden = EncoderLayer(arch, self.dtype, name=f"layers_{layer_id}")(
+                hidden, attention_bias, deterministic
+            )
+            hidden_states.append(hidden)
+        if arch.do_stable_layer_norm:
+            hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
+            hidden_states[-1] = hidden
+        return hidden_states
+
+
+class Wav2Vec2Model(nn.Module):
+    """Full wav2vec2 encoder: raw audio [B, T] + lengths -> all hidden states.
+
+    Returns (hidden_states, frame_lengths) where hidden_states is a list of
+    [B, T', D] arrays of length ``num_hidden_layers + 1``."""
+
+    architecture: Wav2Vec2Architecture
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio, lengths, deterministic: bool = True):
+        arch = self.architecture
+
+        if arch.do_normalize:
+            sample_mask = masking.mask_sequence(lengths, audio.shape[1])
+            audio = masking.zero_mean_unit_var_norm(audio, lengths, sample_mask)
+
+        features = ConvFeatureEncoder(arch, self.dtype, name="feature_extractor")(audio)
+        frame_lengths = arch.downsampled_lengths(lengths)
+        pad_mask = masking.mask_sequence(frame_lengths, features.shape[1]) if arch.use_attention_mask else None
+
+        hidden = FeatureProjection(arch, self.dtype, name="feature_projection")(features, deterministic)
+        hidden_states = Wav2Vec2Encoder(arch, self.dtype, name="encoder")(hidden, pad_mask, deterministic)
+        return hidden_states, frame_lengths

@@ -1,8 +1,9 @@
 """Test configuration: run all JAX tests on a virtual 8-device CPU mesh.
 
 Mirrors the standard JAX approach for testing multi-chip sharding without hardware
-(``--xla_force_host_platform_device_count``). Must run before jax is imported anywhere.
-"""
+(``--xla_force_host_platform_device_count``). The harness's sitecustomize imports jax
+at interpreter startup with ``JAX_PLATFORMS=axon`` (one real TPU via a tunnel), so env
+vars alone are too late — we update jax config before any backend initializes."""
 
 import os
 
@@ -10,7 +11,8 @@ _FLAG = "--xla_force_host_platform_device_count=8"
 _existing = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _existing:
     os.environ["XLA_FLAGS"] = (_existing + " " + _FLAG).strip()
-# The harness presets JAX_PLATFORMS=axon (single real TPU chip); tests must run on the
-# virtual CPU mesh, so override unconditionally.
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
