@@ -174,14 +174,20 @@ class AllophoneMapping(nn.Module):
             jnp.swapaxes(batch_matrices, 1, 2), safe_indices, axis=-1
         )  # [B, P, K]
         products = gathered_logits * weights[:, None, :, :].astype(gathered_logits.dtype)
-        products = jnp.where(valid[:, None, :, :], products, jnp.finfo(jnp.float32).min)
+        # Large negative instead of float32-min: identical zero probability after
+        # softmax, but keeps CTC losses finite (no inf/nan gradients under jax).
+        products = jnp.where(valid[:, None, :, :], products, -1e9)
         return products.max(axis=-1)
 
     def l2_penalty(self):
         """Sum over languages of per-language Frobenius norms of (W - W0)
-        (reference :169-177)."""
+        (reference :169-177). Uses the double-where safe-sqrt so the gradient at
+        W == W0 is 0 (torch's norm subgradient) instead of NaN."""
         deltas = self.allophone_matrices - self.initialization.value
-        return jnp.sqrt((deltas**2).sum(axis=(1, 2))).sum()
+        squared = (deltas**2).sum(axis=(1, 2))
+        positive = squared > 0
+        safe = jnp.where(positive, squared, 1.0)
+        return jnp.where(positive, jnp.sqrt(safe), 0.0).sum()
 
 
 class ProjectingMultiheadAttention(nn.Module):

@@ -1,0 +1,271 @@
+"""Checkpoint save/restore: a native msgpack format plus a reader for the reference's
+torch checkpoints.
+
+The reference stores a single ``torch.save`` file of a marshmallow-serialized
+``Checkpoint`` (estimator.py:199-249): config, versions, feature size, sample rate,
+attribute graph, epoch, phonetic indexer state (incl. the full feature CSV text),
+dataset metadata, ``model_state`` (torch tensors), optimizer states and history. The
+five released HF checkpoints are in that format, so ``load_reference_checkpoint``
+parses it (torch CPU, weights_only) and ``convert_reference_model_state`` maps the
+tensor names onto our flax parameter tree.
+
+The native format is msgpack: JSON-able metadata plus the flax variable tree
+serialized with ``flax.serialization`` — a single self-describing file, no pickle."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import msgpack
+import numpy as np
+from flax import serialization
+
+import allophant_tpu
+from allophant_tpu.config import Config
+from allophant_tpu.models.hf_conversion import convert_wav2vec2_state
+from allophant_tpu.models.projection import ProjectionPlan
+from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture
+from allophant_tpu.phonetics.attribute_graph import AttributeGraph
+from allophant_tpu.phonetics.features import PhoneticIndexerState
+
+
+@dataclasses.dataclass
+class EpochPosition:
+    epoch: int = 0
+    global_step: int = 0
+    step: int = 0
+
+    def next_step(self) -> None:
+        self.global_step += 1
+        self.step += 1
+
+    def to_dict(self) -> Dict[str, int]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any] | None) -> "EpochPosition":
+        if data is None:
+            return cls()
+        return cls(int(data.get("epoch", 0)), int(data.get("global_step", 0)), int(data.get("step", 0)))
+
+    def __str__(self) -> str:
+        return f"Epoch {self.epoch}, Step {self.step} | Global Step: {self.global_step}"
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    """Parsed checkpoint contents, independent of on-disk format."""
+
+    config: Config
+    feature_size: int
+    sample_rate: int
+    attribute_graph: AttributeGraph
+    epoch: EpochPosition
+    phonetic_indexer_state: PhoneticIndexerState
+    variables: Optional[Dict] = None  # native flax variables (params + buffers)
+    reference_model_state: Optional[Dict[str, np.ndarray]] = None  # torch-name keyed
+    optimizer_state: Optional[bytes] = None  # serialized optax state (native only)
+    history: List[Any] = dataclasses.field(default_factory=list)
+    dataset_meta_data: List[Any] = dataclasses.field(default_factory=list)
+    additional: Optional[Dict[str, Any]] = None
+    version: str = allophant_tpu.__version__
+
+
+NATIVE_MAGIC = b"ALLOPHANT_TPU_CKPT1"
+
+
+def save_native(checkpoint: Checkpoint, file_path: str) -> None:
+    """Writes the native msgpack checkpoint (metadata JSON + flax variable bytes)."""
+    metadata = {
+        "config": checkpoint.config.dump(),
+        "feature_size": checkpoint.feature_size,
+        "sample_rate": checkpoint.sample_rate,
+        "attribute_graph": checkpoint.attribute_graph.to_dict(),
+        "epoch": checkpoint.epoch.to_dict(),
+        "phonetic_indexer_state": checkpoint.phonetic_indexer_state.to_dict(),
+        "history": checkpoint.history,
+        "dataset_meta_data": checkpoint.dataset_meta_data,
+        "additional": checkpoint.additional,
+        "version": checkpoint.version,
+    }
+    payload = {
+        "magic": NATIVE_MAGIC,
+        "metadata": json.dumps(metadata),
+        "variables": serialization.msgpack_serialize(
+            serialization.to_state_dict(checkpoint.variables)
+        ),
+        "optimizer_state": checkpoint.optimizer_state,
+    }
+    temporary = file_path + ".tmp"
+    with open(temporary, "wb") as file:
+        file.write(msgpack.packb(payload, use_bin_type=True))
+    os.replace(temporary, file_path)
+
+
+def _is_native(file_path: str) -> bool:
+    with open(file_path, "rb") as file:
+        head = file.read(64)
+    return NATIVE_MAGIC in head
+
+
+def load_native(file_path: str) -> Checkpoint:
+    with open(file_path, "rb") as file:
+        payload = msgpack.unpackb(file.read(), raw=False)
+    metadata = json.loads(payload["metadata"])
+    variables = serialization.msgpack_restore(payload["variables"])
+    return Checkpoint(
+        config=Config.load(metadata["config"]),
+        feature_size=int(metadata["feature_size"]),
+        sample_rate=int(metadata["sample_rate"]),
+        attribute_graph=AttributeGraph.from_dict(metadata["attribute_graph"]),
+        epoch=EpochPosition.from_dict(metadata.get("epoch")),
+        phonetic_indexer_state=PhoneticIndexerState.from_dict(metadata["phonetic_indexer_state"]),
+        variables=variables,
+        optimizer_state=payload.get("optimizer_state"),
+        history=metadata.get("history", []),
+        dataset_meta_data=metadata.get("dataset_meta_data", []),
+        additional=metadata.get("additional"),
+        version=metadata.get("version", "unknown"),
+    )
+
+
+def _normalize_keys(mapping: Dict) -> Dict:
+    """marshmallow dumps may carry int or str keys depending on the serializer."""
+    return mapping
+
+
+def load_reference_checkpoint(file_path: str) -> Checkpoint:
+    """Loads a reference (torch) checkpoint file: the marshmallow-dumped dict saved by
+    the reference's ``Checkpoint.save`` (estimator.py:221-227)."""
+    import torch
+
+    data = torch.load(file_path, map_location="cpu", weights_only=True)
+
+    model_state = {
+        key: value.numpy() if hasattr(value, "numpy") else np.asarray(value)
+        for key, value in data["model_state"].items()
+    }
+
+    indexer_state = data["phonetic_indexer_state"]
+    return Checkpoint(
+        config=Config.load(data["config"]),
+        feature_size=int(data["feature_size"]),
+        sample_rate=int(data["sample_rate"]),
+        attribute_graph=AttributeGraph.from_dict(data["attribute_graph"]),
+        epoch=EpochPosition.from_dict(data.get("epoch")),
+        phonetic_indexer_state=PhoneticIndexerState.from_dict(indexer_state),
+        reference_model_state=model_state,
+        history=[],
+        dataset_meta_data=data.get("dataset_meta_data", []),
+        additional=data.get("additional"),
+        version=str(data.get("allophant_version", "reference")),
+    )
+
+
+def load_checkpoint(file_path: str) -> Checkpoint:
+    """Dispatches between the native format and reference torch checkpoints. Accepts a
+    local path or a HuggingFace model id (resolving ``allophant.pt`` via the local HF
+    cache — this environment has no network egress)."""
+    if not os.path.isfile(file_path):
+        resolved = _resolve_hub_file(file_path)
+        if resolved is None:
+            raise FileNotFoundError(f"No checkpoint found at {file_path!r}")
+        file_path = resolved
+    if _is_native(file_path):
+        return load_native(file_path)
+    return load_reference_checkpoint(file_path)
+
+
+def _resolve_hub_file(model_id: str) -> Optional[str]:
+    try:
+        from transformers.utils import cached_file
+
+        return cached_file(
+            model_id, "allophant.pt", local_files_only=True, _raise_exceptions_for_missing_entries=False
+        )
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Reference model_state -> flax params conversion
+# ---------------------------------------------------------------------------
+
+
+def _linear(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": np.ascontiguousarray(state[f"{prefix}.weight"].T),
+        "bias": state[f"{prefix}.bias"],
+    }
+
+
+def _layer_norm(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
+
+
+def convert_reference_model_state(
+    state: Dict[str, np.ndarray],
+    plan: ProjectionPlan,
+    wav2vec2_architecture: Optional[Wav2Vec2Architecture],
+) -> Dict:
+    """Maps the reference's ``Allophant.state_dict()`` names onto our parameter tree.
+
+    Reference naming (acoustic_model.py:944-1064): ``_acoustic_model._model.<hf>`` for
+    the wrapped wav2vec2, ``_projection._layers.<node>._time_distributed_layer`` for
+    classifier layers, ``...._composition_layer._attribute_embeddings.weight`` and
+    ``...._allophone_layer._allophone_matrices``."""
+    params: Dict[str, Any] = {}
+
+    if wav2vec2_architecture is not None:
+        params["acoustic_model"] = convert_wav2vec2_state(
+            state, wav2vec2_architecture, prefix="_acoustic_model._model."
+        )
+    else:
+        raise NotImplementedError(
+            "Reference checkpoints with from-scratch transformer acoustic models are not"
+            " supported yet (released checkpoints all use wav2vec2)"
+        )
+
+    projection: Dict[str, Any] = {}
+    for node in plan.nodes:
+        base = f"_projection._layers.{node.name}._time_distributed_layer"
+        if node.attention is not None:
+            # torch nn.MultiheadAttention packs q/k/v into in_proj_weight [3E, E].
+            in_proj_weight = state[f"{base}.attention.in_proj_weight"]
+            in_proj_bias = state[f"{base}.attention.in_proj_bias"]
+            hidden = in_proj_weight.shape[0] // 3
+            attention = {}
+            for index, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                attention[name] = {
+                    "kernel": np.ascontiguousarray(
+                        in_proj_weight[index * hidden : (index + 1) * hidden].T
+                    ),
+                    "bias": in_proj_bias[index * hidden : (index + 1) * hidden],
+                }
+            attention["out_proj"] = _linear(state, f"{base}.attention.out_proj")
+            projection[f"classifiers_{node.name}"] = {
+                "input_projection": _linear(state, f"{base}.input_projection"),
+                "layer_norm": _layer_norm(state, f"{base}.layer_norm"),
+                **attention,
+            }
+        else:
+            projection[f"classifiers_{node.name}"] = _linear(state, base)
+
+        if node.has_composition:
+            projection["composition"] = {
+                "attribute_embeddings": state[
+                    f"_projection._layers.{node.name}._composition_layer._attribute_embeddings.weight"
+                ]
+            }
+        if node.has_allophone:
+            projection["allophone"] = {
+                "allophone_matrices": state[
+                    f"_projection._layers.{node.name}._allophone_layer._allophone_matrices"
+                ]
+            }
+
+    params["projection"] = projection
+    return params

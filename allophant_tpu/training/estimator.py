@@ -1,0 +1,347 @@
+"""Estimator: the public train/predict/save/restore surface.
+
+Counterpart of /root/reference/allophant/estimator.py:931-1126. Library usage mirrors
+the reference README flow:
+
+    estimator, indexer = Estimator.restore("path/to/allophant.pt")
+    inventory = indexer.phoneme_inventory(["es", "it"])
+    predictions = estimator.predict(Batch(audio, lengths, 0),
+                                    indexer.composition_feature_matrix(inventory))
+    # predictions.outputs[name]: time-first [T, B, C] log-probs (reference layout)
+
+TPU specifics: ``predict`` pads batches into static shape buckets (powers-of-two-ish
+audio lengths) and caches one jit-compiled function per (bucket shape, inventory
+shape, flags) so repeated calls hit the XLA compilation cache."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allophant_tpu.config import Config, PhonemeLayerType, Wav2Vec2PretrainedConfig
+from allophant_tpu.data.batch import Batch
+from allophant_tpu.models.allophant import (
+    BuiltModel,
+    Predictions,
+    attribute_graph_from_config,
+    build_model,
+    inject_static_data,
+)
+from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture
+from allophant_tpu.phonetics.attribute_graph import AttributeGraph
+from allophant_tpu.phonetics.features import PhoneticAttributeIndexer, PhoneticIndexerState
+from allophant_tpu.training import checkpoint as checkpoint_module
+from allophant_tpu.training.checkpoint import Checkpoint, EpochPosition
+
+
+def _bucket_length(length: int, minimum: int = 1024) -> int:
+    """Rounds a sequence length up to a bucket to bound jit recompiles: powers of two
+    below 64k samples, then multiples of 32k (2 s at 16 kHz)."""
+    length = max(length, minimum)
+    if length <= 65_536:
+        return 1 << (length - 1).bit_length()
+    step = 32_768
+    return ((length + step - 1) // step) * step
+
+
+def infer_wav2vec2_architecture(model_state: Dict[str, np.ndarray]) -> Wav2Vec2Architecture:
+    """Infers the encoder architecture from a reference checkpoint's state dict
+    (hidden size, depth, conv stack, norm mode) — checkpoints store only the HF model
+    id, and this environment has no hub access."""
+    prefix = "_acoustic_model._model."
+    layer_ids = set()
+    conv_ids = set()
+    for key in model_state:
+        if key.startswith(prefix + "encoder.layers."):
+            layer_ids.add(int(key[len(prefix + "encoder.layers.") :].split(".")[0]))
+        if key.startswith(prefix + "feature_extractor.conv_layers."):
+            conv_ids.add(int(key[len(prefix + "feature_extractor.conv_layers.") :].split(".")[0]))
+
+    num_layers = max(layer_ids) + 1
+    num_convs = max(conv_ids) + 1
+    hidden_size = model_state[prefix + "encoder.layers.0.attention.q_proj.weight"].shape[0]
+    intermediate = model_state[prefix + "encoder.layers.0.feed_forward.intermediate_dense.weight"].shape[0]
+    conv_dim = tuple(
+        model_state[prefix + f"feature_extractor.conv_layers.{i}.conv.weight"].shape[0]
+        for i in range(num_convs)
+    )
+    conv_kernel = tuple(
+        model_state[prefix + f"feature_extractor.conv_layers.{i}.conv.weight"].shape[2]
+        for i in range(num_convs)
+    )
+    layer_norm_mode = (
+        "layer" if prefix + "feature_extractor.conv_layers.1.layer_norm.weight" in model_state else "group"
+    )
+    stable = prefix + "encoder.layers.0.layer_norm.weight" in model_state and (
+        prefix + "encoder.layer_norm.weight" in model_state
+    )
+    defaults = Wav2Vec2Architecture()
+    pos_conv_key = prefix + "encoder.pos_conv_embed.conv.bias"
+    num_pos = defaults.num_conv_pos_embeddings
+    base = Wav2Vec2Architecture(
+        hidden_size=int(hidden_size),
+        num_hidden_layers=int(num_layers),
+        num_attention_heads=max(1, int(hidden_size) // 64),
+        intermediate_size=int(intermediate),
+        conv_dim=conv_dim,
+        conv_kernel=conv_kernel,
+        conv_stride=defaults.conv_stride[:num_convs],
+        conv_bias=prefix + "feature_extractor.conv_layers.0.conv.bias" in model_state,
+        feat_extract_norm=layer_norm_mode,
+        do_stable_layer_norm=stable,
+        num_conv_pos_embeddings=num_pos,
+    )
+    return base
+
+
+@dataclasses.dataclass
+class Estimator:
+    """Model + variables + config wrapper supporting prediction, checkpointing and
+    (with a DatasetManager) training."""
+
+    config: Config
+    feature_size: int
+    sample_rate: int
+    attribute_graph: AttributeGraph
+    built: BuiltModel
+    variables: Dict
+    history: List[Any] = dataclasses.field(default_factory=list)
+    epoch: EpochPosition = dataclasses.field(default_factory=EpochPosition)
+    dataset_meta_data: List[Any] = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        self._predict_cache: Dict[Any, Any] = {}
+
+    @property
+    def model(self):
+        return self.built.model
+
+    @property
+    def classes(self) -> List[str]:
+        return self.model.classes
+
+    @classmethod
+    def from_config(
+        cls,
+        config: Config,
+        feature_size: int,
+        sample_rate: int,
+        attribute_graph: AttributeGraph,
+        attribute_indexer: Optional[PhoneticAttributeIndexer] = None,
+        wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
+        load_pretrained_weights: bool = True,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ) -> "Estimator":
+        built = build_model(
+            config.nn,
+            feature_size,
+            sample_rate,
+            attribute_graph,
+            attribute_indexer,
+            wav2vec2_architecture,
+            dtype=dtype,
+        )
+        variables = built.init(jax.random.PRNGKey(seed))
+        if load_pretrained_weights and isinstance(config.nn.acoustic_model, Wav2Vec2PretrainedConfig):
+            pretrained = _try_load_pretrained_encoder(config.nn.acoustic_model.model_id, built)
+            if pretrained is not None:
+                variables["params"]["acoustic_model"] = pretrained
+        return cls(config, feature_size, sample_rate, attribute_graph, built, variables)
+
+    # ------------------------------------------------------------------
+    # Prediction
+    # ------------------------------------------------------------------
+
+    def _padded(self, batch: Batch) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        audio = np.asarray(batch.audio_features)
+        target = _bucket_length(audio.shape[1])
+        if audio.shape[1] < target:
+            widths = [(0, 0), (0, target - audio.shape[1])] + [(0, 0)] * (audio.ndim - 2)
+            audio = np.pad(audio, widths)
+        return audio, np.asarray(batch.lengths), np.asarray(batch.language_ids)
+
+    def _predict_fn(self, feature_shape, log_probabilities: bool):
+        key = (feature_shape, log_probabilities)
+        cached = self._predict_cache.get(key)
+        if cached is not None:
+            return cached
+
+        model = self.model
+
+        @jax.jit
+        def run(variables, audio, lengths, language_ids, target_feature_indices=None):
+            predictions = model.apply(
+                variables, audio, lengths, language_ids, target_feature_indices, predict=True
+            )
+            outputs = predictions.outputs
+            if log_probabilities:
+                outputs = {name: jax.nn.log_softmax(value, axis=-1) for name, value in outputs.items()}
+            # Time-first layout for reference API parity.
+            outputs = {name: jnp.transpose(value, (1, 0, 2)) for name, value in outputs.items()}
+            return Predictions(outputs, predictions.lengths)
+
+        self._predict_cache[key] = run
+        return run
+
+    def predict(
+        self,
+        batch: Batch,
+        target_feature_indices: Optional[np.ndarray] = None,
+        log_probabilities: bool = True,
+    ) -> Predictions:
+        """Inference over a batch; outputs are time-first [T, B, C] per task, matching
+        the reference decode flow (``outputs[name].transpose(1, 0)`` before decoding)."""
+        audio, lengths, language_ids = self._padded(batch)
+        feature_shape = None
+        if target_feature_indices is not None:
+            target_feature_indices = jnp.asarray(np.asarray(target_feature_indices))
+            feature_shape = tuple(target_feature_indices.shape)
+        run = self._predict_fn(feature_shape, log_probabilities)
+        if target_feature_indices is None:
+            return run(
+                self.variables, jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
+            )
+        return run(
+            self.variables,
+            jnp.asarray(audio),
+            jnp.asarray(lengths),
+            jnp.asarray(language_ids),
+            target_feature_indices,
+        )
+
+    def map_allophones(self, phone_logits, language_ids):
+        """Maps raw phone log-probs to per-language phoneme log-probs (time-first in,
+        time-first out, matching the reference predict flow)."""
+        batch_first = jnp.transpose(jnp.asarray(phone_logits), (1, 0, 2))
+        mapped = self.model.apply(
+            self.variables, batch_first, jnp.asarray(language_ids), method="map_allophones"
+        )
+        return jnp.transpose(mapped, (1, 0, 2))
+
+    def downsampled_lengths(self, lengths):
+        if isinstance(self.built.model.acoustic_config, Wav2Vec2Architecture):
+            return self.built.model.acoustic_config.downsampled_lengths(np.asarray(lengths))
+        return self.model.apply(self.variables, np.asarray(lengths), method="downsampled_lengths")
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+
+    def save(
+        self,
+        file_path: str,
+        optimizer_state: Optional[bytes] = None,
+        phonetic_indexer_state: Optional[PhoneticIndexerState] = None,
+        additional_parameters: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        checkpoint_module.save_native(
+            Checkpoint(
+                config=self.config,
+                feature_size=self.feature_size,
+                sample_rate=self.sample_rate,
+                attribute_graph=self.attribute_graph,
+                epoch=self.epoch,
+                phonetic_indexer_state=phonetic_indexer_state,
+                variables=self.variables,
+                optimizer_state=optimizer_state,
+                history=self.history,
+                dataset_meta_data=self.dataset_meta_data,
+                additional=additional_parameters,
+            ),
+            file_path,
+        )
+
+    @classmethod
+    def restore(
+        cls,
+        checkpoint: Checkpoint | str,
+        dtype=jnp.float32,
+        wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
+        **_kwargs,
+    ) -> Tuple["Estimator", PhoneticAttributeIndexer]:
+        """Restores from a native or reference checkpoint (path, HF model id from the
+        local cache, or parsed ``Checkpoint``); returns the estimator and the phonetic
+        indexer rebuilt from the embedded state (reference estimator.py:1085-1126)."""
+        if not isinstance(checkpoint, Checkpoint):
+            checkpoint = checkpoint_module.load_checkpoint(checkpoint)
+
+        indexer = PhoneticAttributeIndexer.from_config(
+            checkpoint.config, state_dict=checkpoint.phonetic_indexer_state
+        )
+
+        if wav2vec2_architecture is None and isinstance(
+            checkpoint.config.nn.acoustic_model, Wav2Vec2PretrainedConfig
+        ):
+            if checkpoint.reference_model_state is not None:
+                wav2vec2_architecture = infer_wav2vec2_architecture(checkpoint.reference_model_state)
+
+        estimator = cls.from_config(
+            checkpoint.config,
+            checkpoint.feature_size,
+            checkpoint.sample_rate,
+            checkpoint.attribute_graph,
+            indexer,
+            wav2vec2_architecture,
+            load_pretrained_weights=False,
+            dtype=dtype,
+        )
+        if checkpoint.variables is not None:
+            # Native checkpoint: variables restored wholesale onto the initialized
+            # structure (shape-checked by flax serialization).
+            from flax import serialization
+
+            estimator.variables = serialization.from_state_dict(
+                estimator.variables, checkpoint.variables
+            )
+        elif checkpoint.reference_model_state is not None:
+            params = checkpoint_module.convert_reference_model_state(
+                checkpoint.reference_model_state,
+                estimator.built.model.plan,
+                wav2vec2_architecture,
+            )
+            _check_tree_shapes(estimator.variables["params"], params)
+            estimator.variables["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+
+        estimator.epoch = checkpoint.epoch
+        estimator.history = checkpoint.history
+        return estimator, indexer
+
+
+def _check_tree_shapes(expected: Dict, actual: Dict, path: str = "") -> None:
+    expected_flat = {
+        "/".join(map(str, key)): value.shape
+        for key, value in jax.tree_util.tree_flatten_with_path(expected)[0]
+    }
+    actual_flat = {
+        "/".join(map(str, key)): np.asarray(value).shape
+        for key, value in jax.tree_util.tree_flatten_with_path(actual)[0]
+    }
+    missing = set(expected_flat) - set(actual_flat)
+    extra = set(actual_flat) - set(expected_flat)
+    if missing or extra:
+        raise ValueError(f"Checkpoint parameter mismatch. Missing: {sorted(missing)[:8]}; extra: {sorted(extra)[:8]}")
+    for key, shape in expected_flat.items():
+        if actual_flat[key] != shape:
+            raise ValueError(f"Shape mismatch for {key}: checkpoint {actual_flat[key]} vs model {shape}")
+
+
+def _try_load_pretrained_encoder(model_id: str, built: BuiltModel) -> Optional[Dict]:
+    """Loads HF wav2vec2 encoder weights from the local cache if available (no
+    network egress in this environment); returns None on any failure."""
+    try:
+        import torch
+        from transformers import Wav2Vec2Model as TorchWav2Vec2
+
+        from allophant_tpu.models.hf_conversion import convert_wav2vec2_state
+
+        model = TorchWav2Vec2.from_pretrained(model_id, local_files_only=True)
+        state = {key: value.numpy() for key, value in model.state_dict().items()}
+        return convert_wav2vec2_state(state, built.model.acoustic_config)
+    except Exception:
+        return None

@@ -1,0 +1,180 @@
+"""Distributed training step: multi-task CTC objective, grad accumulation, optimizer.
+
+Counterpart of the reference's training inner loop (estimator.py:687-798), recast as a
+single jit-compiled SPMD program:
+
+- Objective: sum of per-classifier CTC losses over the batch divided by the total
+  label count, plus ``allophone_l2_alpha * l2_penalty`` (the reference runs a separate
+  backward for the penalty; a single objective yields identical gradients).
+- Gradient accumulation is a ``lax.scan`` over microbatches inside jit (the reference
+  drains a Python list of batches), so accumulation costs no host round trips.
+- Gradient clipping by global norm, then optax (Adam + Noam-plateau schedule).
+- Data parallelism: the step runs under a (data, model) mesh with batch arrays sharded
+  on the data axis and replicated parameters; XLA inserts the gradient psums."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from allophant_tpu.config import (
+    Architecture,
+    CTCLossConfig,
+    SequenceCrossEntropyLossConfig,
+)
+from allophant_tpu.models.allophant import AllophantModel
+from allophant_tpu.models.projection import BUFFERS
+from allophant_tpu.ops.ctc import ctc_loss_sum, sequence_cross_entropy_sum
+
+
+def create_optimizer(architecture: Architecture, d_model: int) -> optax.GradientTransformation:
+    """Builds the optax chain from the architecture config: optional global-norm
+    clipping, then the configured optimizer with the warmup schedule (reference
+    config.py:107-343, estimator.py:981-985)."""
+    if architecture.lr_schedule is not None:
+        learning_rate: Any = architecture.lr_schedule.schedule(d_model)
+    else:
+        learning_rate = architecture.optimizer.learning_rate
+
+    transforms = []
+    if architecture.clip_norm is not None:
+        transforms.append(optax.clip_by_global_norm(architecture.clip_norm))
+    transforms.append(architecture.optimizer.make(learning_rate))
+    return optax.chain(*transforms)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossPlan:
+    """Static per-classifier loss selection derived from the projection config."""
+
+    ctc_heads: Tuple[str, ...]
+    cross_entropy_heads: Tuple[Tuple[str, float], ...]  # (name, label_smoothing)
+    allophone_l2_alpha: float
+    has_allophone_penalty: bool
+
+
+def build_loss_plan(architecture: Architecture, has_allophone: bool) -> LossPlan:
+    ctc_heads = []
+    cross_entropy_heads = []
+    for entry in architecture.projection.classes:
+        if isinstance(entry.loss, SequenceCrossEntropyLossConfig):
+            cross_entropy_heads.append((entry.name, entry.loss.label_smoothing))
+        else:
+            ctc_heads.append(entry.name)
+    return LossPlan(
+        tuple(ctc_heads),
+        tuple(cross_entropy_heads),
+        architecture.projection.allophone_l2_alpha,
+        has_allophone,
+    )
+
+
+def multitask_loss(
+    model: AllophantModel,
+    variables: Dict,
+    params: Dict,
+    batch: Dict[str, jnp.ndarray],
+    loss_plan: LossPlan,
+    dropout_rng,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Computes the training objective on one microbatch.
+
+    ``batch`` keys: audio [B, T], lengths [B], language_ids [B], and per-head
+    ``labels_<name>`` [B, N] / ``label_lengths_<name>`` [B]."""
+    merged = {**variables, "params": params}
+    predictions = model.apply(
+        merged,
+        batch["audio"],
+        batch["lengths"],
+        batch["language_ids"],
+        deterministic=False,
+        rngs={"dropout": dropout_rng},
+    )
+    outputs = predictions.outputs
+
+    total_loss = jnp.zeros((), jnp.float32)
+    total_length = jnp.zeros((), jnp.float32)
+    head_losses: Dict[str, jnp.ndarray] = {}
+    for name in loss_plan.ctc_heads:
+        labels = batch[f"labels_{name}"]
+        label_lengths = batch[f"label_lengths_{name}"]
+        loss = ctc_loss_sum(outputs[name], predictions.lengths, labels, label_lengths)
+        head_losses[name] = loss
+        total_loss += loss
+        total_length += label_lengths.sum()
+    for name, smoothing in loss_plan.cross_entropy_heads:
+        labels = batch[f"labels_{name}"]
+        loss = sequence_cross_entropy_sum(
+            outputs[name], predictions.lengths, labels, label_smoothing=smoothing
+        )
+        head_losses[name] = loss
+        total_loss += loss
+        total_length += labels.shape[0]
+
+    objective = total_loss / jnp.maximum(total_length, 1.0)
+
+    if loss_plan.has_allophone_penalty:
+        penalty = model.apply(merged, method="l2_penalty")
+        objective = objective + loss_plan.allophone_l2_alpha * penalty
+
+    metrics = {"loss": total_loss, "label_count": total_length, **head_losses}
+    return objective, metrics
+
+
+def make_train_step(
+    model: AllophantModel,
+    optimizer: optax.GradientTransformation,
+    loss_plan: LossPlan,
+) -> Callable:
+    """Returns a jittable train step over (params, opt_state, buffers, microbatches).
+
+    ``microbatches`` is a pytree of arrays with a leading accumulation axis [A, ...];
+    gradients are accumulated with ``lax.scan`` and applied once."""
+
+    def train_step(params, opt_state, other_variables, microbatches, step_rng):
+        grad_fn = jax.value_and_grad(
+            lambda p, micro, rng: multitask_loss(model, other_variables, p, micro, loss_plan, rng),
+            has_aux=True,
+        )
+
+        def accumulate(carry, microbatch_and_rng):
+            grads_acc, loss_acc, length_acc = carry
+            microbatch, rng = microbatch_and_rng
+            (objective, metrics), grads = grad_fn(params, microbatch, rng)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (
+                grads_acc,
+                loss_acc + metrics["loss"],
+                length_acc + metrics["label_count"],
+            ), objective
+
+        accumulation = jax.tree_util.tree_map(lambda x: x.shape[0], microbatches)
+        num_micro = jax.tree_util.tree_leaves(accumulation)[0]
+        rngs = jax.random.split(step_rng, num_micro)
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (grads, loss_sum, length_sum), objectives = jax.lax.scan(
+            accumulate,
+            (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (microbatches, rngs),
+        )
+        # Average accumulated gradients over microbatches (each microbatch objective is
+        # already label-count normalized, matching the reference's per-minibatch mean
+        # backward then single optimizer step).
+        grads = jax.tree_util.tree_map(lambda g: g / num_micro, grads)
+
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss_sum": loss_sum,
+            "label_count": length_sum,
+            "mean_loss": loss_sum / jnp.maximum(length_sum, 1.0),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_params, new_opt_state, metrics
+
+    return train_step

@@ -1,0 +1,247 @@
+"""End-to-end Estimator tests: restore from a synthesized reference-format (torch)
+checkpoint, numerical parity of the full pipeline against a torch reimplementation of
+the head math, native save/restore round trip, and the greedy decode flow."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from allophant_tpu.config import Config
+from allophant_tpu.data.batch import Batch
+from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture
+from allophant_tpu.phonetics.features import LanguageInventories, PhoneticAttributeIndexer
+from allophant_tpu.predictions import feature_decoders
+from allophant_tpu.training.estimator import Estimator
+
+from fixtures import CLASSIFIER_FEATURES, mini_allophoible_csv, mini_config_dict
+
+TINY = dict(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=48,
+    conv_dim=(12, 16),
+    conv_kernel=(4, 3),
+    conv_stride=(2, 2),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+)
+
+TINY_ARCH = Wav2Vec2Architecture(
+    **TINY, hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0
+)
+
+
+def _make_reference_checkpoint(tmp_path, phoneme_layer="shared", composition=False):
+    """Synthesizes a checkpoint in the reference's on-disk format: torch.save of the
+    marshmallow-dump structure with reference state-dict names, driving the real HF
+    torch wav2vec2 plus torch classifier heads."""
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as TorchWav2Vec2
+
+    config_dict = mini_config_dict(
+        phoneme_layer=phoneme_layer, embedding_composition=composition, model_type="wav2vec2"
+    )
+    config = Config.load(config_dict)
+    inventories = LanguageInventories({0: ["a", "b", "d", "t"], 1: ["a", "t", "s"]}, ["es", "it"])
+    indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv(), inventories)
+
+    hf_config = HFConfig(
+        **TINY,
+        conv_bias=True,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    torch_encoder = TorchWav2Vec2(hf_config).eval()
+
+    model_state = {
+        f"_acoustic_model._model.{key}": value for key, value in torch_encoder.state_dict().items()
+    }
+
+    # Classifier heads: torch Linear per attribute (+ phoneme), reference naming.
+    torch_heads = {}
+    hidden = TINY["hidden_size"]
+    for name in CLASSIFIER_FEATURES:
+        size = indexer.size(name) + 1
+        layer = torch.nn.Linear(hidden, size)
+        torch_heads[name] = layer
+        model_state[f"_projection._layers.{name}._time_distributed_layer.weight"] = layer.weight.data
+        model_state[f"_projection._layers.{name}._time_distributed_layer.bias"] = layer.bias.data
+    if composition:
+        embedding_size = config.nn.projection.embedding_composition.embedding_size
+        phoneme_out = embedding_size
+    else:
+        phoneme_out = len(indexer.phonemes) + 1
+    phoneme_head = torch.nn.Linear(hidden, phoneme_out)
+    torch_heads["phoneme"] = phoneme_head
+    model_state["_projection._layers.phoneme._time_distributed_layer.weight"] = phoneme_head.weight.data
+    model_state["_projection._layers.phoneme._time_distributed_layer.bias"] = phoneme_head.bias.data
+
+    composition_weight = None
+    if composition:
+        # EmbeddingBag table matching the plan's expected row count.
+        table = indexer.full_attributes.subset(
+            indexer.phonemes.tolist(), list(indexer.composition_features)
+        ).dense_feature_table
+        num_categories = np.concatenate(([0], table.max(axis=0))) + 1
+        composition_weight = torch.randn(int(num_categories.sum()), embedding_size)
+        model_state[
+            "_projection._layers.phoneme._composition_layer._attribute_embeddings.weight"
+        ] = composition_weight
+
+    from allophant_tpu.models.allophant import attribute_graph_from_config
+
+    graph = attribute_graph_from_config(config, indexer)
+    checkpoint_data = {
+        "config": config.dump(),
+        "allophant_version": "reference-test",
+        "feature_size": 1,
+        "sample_rate": 16000,
+        "attribute_graph": graph.to_dict(),
+        "epoch": {"epoch": 3, "global_step": 100, "step": 10},
+        "phonetic_indexer_state": indexer.state().to_dict(),
+        "dataset_meta_data": [],
+        "model_state": model_state,
+        "optimization_states": None,
+        "history": [],
+        "additional": None,
+    }
+    path = str(tmp_path / "allophant.pt")
+    torch.save(checkpoint_data, path)
+    return path, torch_encoder, torch_heads, composition_weight, indexer
+
+
+class TestReferenceCheckpointRestore:
+    def test_restore_and_numerical_parity(self, tmp_path):
+        import torch
+
+        path, torch_encoder, torch_heads, _, _ = _make_reference_checkpoint(tmp_path)
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        assert estimator.epoch.epoch == 3
+        assert estimator.sample_rate == 16000
+
+        rng = np.random.default_rng(3)
+        samples = 800
+        audio = rng.standard_normal((2, samples)).astype(np.float32)
+        lengths = np.array([samples, samples - 200])
+        for row, length in enumerate(lengths):
+            audio[row, length:] = 0.0
+
+        predictions = estimator.predict(Batch(audio, lengths, 0), log_probabilities=False)
+
+        # Torch reference computation: zero-mean-unit-var norm -> encoder -> heads.
+        attention_mask = (np.arange(samples)[None, :] < lengths[:, None]).astype(np.int64)
+        normalized = np.zeros_like(audio)
+        for row, length in enumerate(lengths):
+            valid = audio[row, :length]
+            normalized[row, :length] = (valid - valid.mean()) / np.sqrt(valid.var() + 1e-7)
+        with torch.no_grad():
+            hidden = torch_encoder(
+                torch.from_numpy(normalized),
+                attention_mask=torch.from_numpy(attention_mask),
+                output_hidden_states=True,
+            ).hidden_states[-1]
+            expected_nasal = torch_heads["nasal"](hidden).numpy()
+
+        # Our predict buckets audio to a static padded length; crop to torch's frames.
+        ours = np.asarray(predictions.outputs["nasal"]).transpose(1, 0, 2)[:, : expected_nasal.shape[1]]
+        frame_lengths = np.asarray(predictions.lengths)
+        frame_mask = np.arange(expected_nasal.shape[1])[None, :] < frame_lengths[:, None]
+        difference = np.abs(ours - expected_nasal)[frame_mask]
+        assert difference.max() < 5e-4, f"max diff {difference.max()}"
+
+    def test_decode_flow(self, tmp_path):
+        path, *_ = _make_reference_checkpoint(tmp_path)
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        audio = np.random.default_rng(0).standard_normal((1, 800)).astype(np.float32)
+        batch = Batch(audio, np.array([800]), 0)
+        predictions = estimator.predict(batch)
+
+        decoders = feature_decoders(indexer.attributes, feature_names=["nasal", "phoneme"])
+        for name, decoder in decoders.items():
+            output = np.asarray(predictions.outputs[name]).transpose(1, 0, 2)
+            hypotheses = decoder(output, np.asarray(predictions.lengths))
+            assert len(hypotheses) == 1
+            tokens = hypotheses[0][0].tokens
+            # Tokens use the blank offset: valid ids are >= 1.
+            assert (tokens >= 1).all()
+            values = indexer.feature_values(name, tokens - 1)
+            assert all(isinstance(value, str) for value in values)
+
+    def test_restore_composition_checkpoint(self, tmp_path):
+        import torch
+
+        path, torch_encoder, torch_heads, composition_weight, build_indexer = _make_reference_checkpoint(
+            tmp_path, composition=True
+        )
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+
+        audio = np.random.default_rng(1).standard_normal((1, 800)).astype(np.float32)
+        batch = Batch(audio, np.array([800]), 0)
+        inventory = ["a", "i", "m"]
+        matrix = indexer.composition_feature_matrix(inventory)
+        predictions = estimator.predict(batch, matrix, log_probabilities=False)
+        assert predictions.outputs["phoneme"].shape[-1] == len(inventory) + 1
+
+        # Parity: torch composition math over the zero-shot inventory.
+        normalized = (audio[0] - audio[0].mean()) / np.sqrt(audio[0].var() + 1e-7)
+        with torch.no_grad():
+            hidden = torch_encoder(
+                torch.from_numpy(normalized[None]), output_hidden_states=True
+            ).hidden_states[-1]
+            projected = torch_heads["phoneme"](hidden).numpy()[0]
+        table = np.asarray(matrix)
+        num_categories = np.concatenate(
+            ([0], np.asarray(estimator.variables["buffers"]["projection"]["composition_feature_table"]).max(axis=0))
+        ) + 1
+        offsets = num_categories.cumsum()[:-1]
+        weights = composition_weight.numpy()
+        composed = weights[table + offsets[None, :]].sum(1)
+        composed = np.concatenate((weights[0][None], composed), 0)
+        embedding_size = weights.shape[1]
+        expected = projected @ composed.T / np.sqrt(embedding_size)
+
+        ours = np.asarray(predictions.outputs["phoneme"]).transpose(1, 0, 2)[0]
+        np.testing.assert_allclose(ours[: expected.shape[0]], expected, atol=5e-4)
+
+
+class TestNativeCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        config = Config.load(mini_config_dict(model_type="wav2vec2"))
+        inventories = LanguageInventories({0: ["a", "b", "t"]}, ["es"])
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv(), inventories)
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+
+        graph = attribute_graph_from_config(config, indexer)
+        estimator = Estimator.from_config(
+            config, 1, 16000, graph, indexer, TINY_ARCH, load_pretrained_weights=False
+        )
+        estimator.epoch.epoch = 7
+
+        path = str(tmp_path / "native.ckpt")
+        estimator.save(path, phonetic_indexer_state=indexer.state())
+        restored, restored_indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+
+        assert restored.epoch.epoch == 7
+        assert restored_indexer.phonemes.tolist() == indexer.phonemes.tolist()
+        # Identical parameters -> identical predictions.
+        audio = np.random.default_rng(0).standard_normal((1, 640)).astype(np.float32)
+        batch = Batch(audio, np.array([640]), 0)
+        original = estimator.predict(batch)
+        roundtrip = restored.predict(batch)
+        np.testing.assert_allclose(
+            np.asarray(original.outputs["phoneme"]),
+            np.asarray(roundtrip.outputs["phoneme"]),
+            atol=1e-6,
+        )

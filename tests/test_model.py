@@ -138,7 +138,7 @@ class TestAllophoneModel:
             if index not in spanish_phonemes
         ]
         if missing:
-            assert (phoneme_logits[0][:, np.asarray(missing) + 1] < -1e30).all()
+            assert (phoneme_logits[0][:, np.asarray(missing) + 1] <= -1e8).all()
 
     def test_l2_penalty_zero_at_init_and_positive_after(self, table_csv):
         config, indexer, built, variables = _build(table_csv, "allophones", composition=False)

@@ -1,0 +1,148 @@
+"""Tests for device ops: CTC loss parity vs torch, greedy/beam CTC decoding."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from allophant_tpu.ops.ctc import ctc_loss_sum, sequence_cross_entropy_sum
+from allophant_tpu.ops.decode import BeamCTCDecoder, GreedyCTCDecoder
+
+
+class TestCTCLoss:
+    def test_matches_torch_ctc(self):
+        import torch
+
+        rng = np.random.default_rng(0)
+        batch, time, classes, label_len = 3, 20, 7, 6
+        logits = rng.standard_normal((batch, time, classes)).astype(np.float32)
+        logit_lengths = np.array([20, 15, 12])
+        labels = rng.integers(1, classes, (batch, label_len))
+        label_lengths = np.array([6, 4, 3])
+        for row, length in enumerate(label_lengths):
+            labels[row, length:] = 0
+
+        ours = float(
+            ctc_loss_sum(
+                jnp.asarray(logits), jnp.asarray(logit_lengths), jnp.asarray(labels), jnp.asarray(label_lengths)
+            )
+        )
+        torch_loss = torch.nn.CTCLoss(reduction="sum", zero_infinity=True)
+        log_probs = torch.log_softmax(torch.from_numpy(logits), -1).transpose(0, 1)
+        expected = torch_loss(
+            log_probs,
+            torch.from_numpy(labels),
+            torch.from_numpy(logit_lengths),
+            torch.from_numpy(label_lengths),
+        )
+        assert ours == pytest.approx(float(expected), rel=1e-4)
+
+    def test_zero_infinity(self):
+        # Label longer than output: zero loss, not inf (reference loss_functions.py:22-24).
+        rng = np.random.default_rng(1)
+        logits = rng.standard_normal((1, 3, 5)).astype(np.float32)
+        labels = np.array([[1, 2, 3, 4, 1, 2]])
+        loss = float(
+            ctc_loss_sum(jnp.asarray(logits), jnp.asarray([3]), jnp.asarray(labels), jnp.asarray([6]))
+        )
+        assert loss == 0.0
+
+    def test_sequence_cross_entropy(self):
+        import torch
+
+        rng = np.random.default_rng(2)
+        logits = rng.standard_normal((2, 10, 4)).astype(np.float32)
+        lengths = np.array([10, 6])
+        labels = np.array([1, 3])
+        ours = float(
+            sequence_cross_entropy_sum(
+                jnp.asarray(logits), jnp.asarray(lengths), jnp.asarray(labels)
+            )
+        )
+        pooled = np.stack(
+            [logits[0, :10].mean(0), logits[1, :6].mean(0)]
+        )
+        expected = torch.nn.CrossEntropyLoss(reduction="sum")(
+            torch.from_numpy(pooled), torch.from_numpy(labels)
+        )
+        assert ours == pytest.approx(float(expected), rel=1e-4)
+
+
+def _emissions_for(sequence, classes, time_per_token=2):
+    """Builds log emissions that deterministically decode to `sequence` greedily."""
+    frames = []
+    for token in sequence:
+        for _ in range(time_per_token):
+            row = np.full(classes, -10.0, dtype=np.float32)
+            row[token] = 0.0
+            frames.append(row)
+    return np.asarray(frames)[None]
+
+
+class TestGreedyDecoder:
+    def test_collapse_and_blank_removal(self):
+        decoder = GreedyCTCDecoder()
+        # Sequence: a a blank b b -> tokens [a, b]
+        emissions = _emissions_for([2, 2, 0, 3, 3], classes=5, time_per_token=1)
+        [hypotheses] = decoder(emissions, np.array([5]))
+        hypothesis = hypotheses[0]
+        np.testing.assert_array_equal(hypothesis.tokens, [2, 3])
+        # flashlight-compatible 1-based run-start timesteps.
+        np.testing.assert_array_equal(hypothesis.timesteps, [1, 4])
+
+    def test_respects_lengths(self):
+        decoder = GreedyCTCDecoder()
+        emissions = _emissions_for([2, 3, 4], classes=5, time_per_token=1)
+        [hypotheses] = decoder(emissions, np.array([2]))
+        np.testing.assert_array_equal(hypotheses[0].tokens, [2, 3])
+
+    def test_repeated_with_blank_between(self):
+        decoder = GreedyCTCDecoder()
+        emissions = _emissions_for([2, 0, 2], classes=4, time_per_token=1)
+        [hypotheses] = decoder(emissions, np.array([3]))
+        np.testing.assert_array_equal(hypotheses[0].tokens, [2, 2])
+
+    def test_batched(self):
+        decoder = GreedyCTCDecoder()
+        a = _emissions_for([1, 2], classes=4, time_per_token=2)[0]
+        b = _emissions_for([3, 0], classes=4, time_per_token=2)[0]
+        emissions = np.stack([a, b])
+        results = decoder(emissions, np.array([4, 4]))
+        np.testing.assert_array_equal(results[0][0].tokens, [1, 2])
+        np.testing.assert_array_equal(results[1][0].tokens, [3])
+
+    def test_score_is_sum_of_max(self):
+        decoder = GreedyCTCDecoder()
+        emissions = np.log(
+            np.asarray([[[0.7, 0.2, 0.1], [0.6, 0.3, 0.1]]], dtype=np.float32)
+        )
+        [hypotheses] = decoder(emissions, np.array([2]))
+        assert hypotheses[0].score == pytest.approx(np.log(0.7) + np.log(0.6), rel=1e-5)
+
+
+class TestBeamDecoder:
+    def test_agrees_with_greedy_on_peaked(self):
+        greedy = GreedyCTCDecoder()
+        beam = BeamCTCDecoder(["<blank>", "a", "b", "c"], beam_width=4)
+        emissions = _emissions_for([1, 0, 2, 3], classes=4, time_per_token=1)
+        greedy_tokens = greedy(emissions, np.array([4]))[0][0].tokens
+        beam_tokens = beam(emissions, np.array([4]))[0][0].tokens
+        np.testing.assert_array_equal(greedy_tokens, beam_tokens)
+
+    def test_beam_sums_paths(self):
+        # Classic case where beam (path-summing) beats greedy: two frames where
+        # blank is individually most likely but token paths sum higher.
+        log_probs = np.log(np.asarray([[[0.4, 0.6], [0.4, 0.6]]], dtype=np.float32))
+        beam = BeamCTCDecoder(["<blank>", "a"], beam_width=4)
+        result = beam(log_probs, np.array([2]))[0][0]
+        # P(a) = 0.6*0.6 + 0.6*0.4 + 0.4*0.6 = 0.84 > P(empty) = 0.16
+        np.testing.assert_array_equal(result.tokens, [1])
+        assert result.score == pytest.approx(np.log(0.84), rel=1e-4)
+
+    def test_n_best(self):
+        log_probs = np.log(np.asarray([[[0.5, 0.3, 0.2], [0.5, 0.3, 0.2]]], dtype=np.float32))
+        beam = BeamCTCDecoder(["<blank>", "a", "b"], beam_width=6, n_best=3)
+        hypotheses = beam(log_probs, np.array([2]))[0]
+        assert len(hypotheses) == 3
+        scores = [hypothesis.score for hypothesis in hypotheses]
+        assert scores == sorted(scores, reverse=True)

@@ -1,0 +1,85 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: full training step
+under dp x tp shardings, and sharding-rule unit checks."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec
+
+from allophant_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, create_mesh
+from allophant_tpu.parallel.sharding import param_spec, tree_param_shardings
+
+
+class TestShardingRules:
+    def test_column_parallel(self):
+        assert param_spec(("encoder", "layers_0", "attention", "q_proj", "kernel")) == PartitionSpec(
+            None, MODEL_AXIS
+        )
+        assert param_spec(("feed_forward", "intermediate_dense", "kernel")) == PartitionSpec(
+            None, MODEL_AXIS
+        )
+        assert param_spec(("feed_forward", "intermediate_dense", "bias")) == PartitionSpec(MODEL_AXIS)
+
+    def test_row_parallel(self):
+        assert param_spec(("attention", "out_proj", "kernel")) == PartitionSpec(MODEL_AXIS, None)
+        assert param_spec(("feed_forward", "output_dense", "kernel")) == PartitionSpec(MODEL_AXIS, None)
+        # Row-parallel biases stay replicated (added after the reduce).
+        assert param_spec(("attention", "out_proj", "bias")) == PartitionSpec()
+
+    def test_replicated_default(self):
+        assert param_spec(("projection", "classifiers_nasal", "kernel")) == PartitionSpec()
+        assert param_spec(("feature_projection", "projection", "kernel")) == PartitionSpec()
+
+
+class TestMesh:
+    def test_create_mesh_shapes(self):
+        mesh = create_mesh(jax.devices()[:8], model_parallel=2)
+        assert mesh.shape[DATA_AXIS] == 4
+        assert mesh.shape[MODEL_AXIS] == 2
+
+    def test_mismatched_shape_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh(jax.devices()[:8], data_parallel=3, model_parallel=2)
+
+
+class TestMultichipTrainStep:
+    def test_dp_tp_train_step(self):
+        """The __graft_entry__ dry run as a regression test: one full training step
+        over a 4x2 (data x model) mesh with tiny shapes."""
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)
+
+    def test_data_parallel_grad_equivalence(self):
+        """A DP-sharded step must produce the same update as single-device: the batch
+        is just laid out across devices; psums make gradients identical."""
+        import jax.numpy as jnp
+        import optax
+
+        mesh = create_mesh(jax.devices()[:4], model_parallel=1)
+
+        def loss_fn(params, batch):
+            predictions = batch["x"] @ params["w"]
+            return ((predictions - batch["y"]) ** 2).mean()
+
+        rng = np.random.default_rng(0)
+        params = {"w": jnp.asarray(rng.standard_normal((8, 4)).astype(np.float32))}
+        batch = {
+            "x": jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32)),
+            "y": jnp.asarray(rng.standard_normal((16, 4)).astype(np.float32)),
+        }
+        single_grads = jax.grad(loss_fn)(params, batch)
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        sharded_batch = jax.tree_util.tree_map(
+            lambda array: jax.device_put(array, batch_sharding), batch
+        )
+        sharded_params = jax.tree_util.tree_map(
+            lambda array: jax.device_put(array, replicated), params
+        )
+        sharded_grads = jax.jit(jax.grad(loss_fn))(sharded_params, sharded_batch)
+        np.testing.assert_allclose(
+            np.asarray(single_grads["w"]), np.asarray(sharded_grads["w"]), rtol=2e-5
+        )
