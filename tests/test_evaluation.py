@@ -1,0 +1,139 @@
+"""Tests for the evaluation pipeline: result-file compatibility with the reference's
+published JSONs, the batched TPU Levenshtein scorer, and the end-to-end
+predictions-file -> statistics flow."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from allophant_tpu.evaluation import MultilingualEvaluationResults, macro_average_error_rates
+from allophant_tpu.ops.levenshtein import (
+    batched_levenshtein_distances,
+    corpus_error_rate,
+    encode_token_batches,
+)
+from allophant_tpu.phonemes import levensthein
+
+REFERENCE_RESULTS = "/root/reference/interspeech_results/allophant_ucla.json"
+
+
+class TestResultCompatibility:
+    @pytest.mark.skipif(not os.path.exists(REFERENCE_RESULTS), reason="reference results absent")
+    def test_loads_published_results(self):
+        results = MultilingualEvaluationResults.load(REFERENCE_RESULTS)
+        assert "total" in results.results
+        assert len(results.results) == 85  # 84 languages + total
+        first = next(iter(results.results.values()))
+        assert len(first.properties) == 37
+
+    @pytest.mark.skipif(not os.path.exists(REFERENCE_RESULTS), reason="reference results absent")
+    def test_published_macro_averages(self):
+        # The README numbers are macro averages of these files: Multitask UCLA
+        # PER 45.62% and AER 19.44% (BASELINE.md).
+        results = MultilingualEvaluationResults.load(REFERENCE_RESULTS)
+        summary = macro_average_error_rates(results)
+        assert summary["phoneme_error_rate"] * 100 == pytest.approx(45.62, abs=0.01)
+        assert summary["attribute_error_rate"] * 100 == pytest.approx(19.44, abs=0.01)
+
+    @pytest.mark.skipif(not os.path.exists(REFERENCE_RESULTS), reason="reference results absent")
+    def test_roundtrip_preserves_json(self):
+        with open(REFERENCE_RESULTS) as file:
+            raw = json.load(file)
+        results = MultilingualEvaluationResults.from_json(raw)
+        dumped = results.to_json()
+        assert dumped["results"].keys() == raw["results"].keys()
+        language = next(iter(raw["results"]))
+        assert dumped["results"][language]["error_statistics"] == raw["results"][language]["error_statistics"]
+
+
+class TestBatchedLevenshtein:
+    def test_matches_native_engine(self):
+        rng = np.random.default_rng(0)
+        expected = []
+        actual = []
+        for _ in range(20):
+            expected.append([f"p{i}" for i in rng.integers(0, 12, rng.integers(1, 15))])
+            actual.append([f"p{i}" for i in rng.integers(0, 12, rng.integers(1, 15))])
+        a_ids, a_lengths, b_ids, b_lengths = encode_token_batches(expected, actual)
+        distances = np.asarray(batched_levenshtein_distances(a_ids, a_lengths, b_ids, b_lengths))
+        for index, (exp, act) in enumerate(zip(expected, actual)):
+            assert distances[index] == levensthein(exp, act), f"row {index}"
+
+    def test_empty_and_identical(self):
+        expected = [["a", "b"], ["a"], ["x", "y", "z"]]
+        actual = [["a", "b"], ["b"], []]
+        a_ids, a_lengths, b_ids, b_lengths = encode_token_batches(expected, actual)
+        distances = np.asarray(batched_levenshtein_distances(a_ids, a_lengths, b_ids, b_lengths))
+        np.testing.assert_array_equal(distances, [0, 1, 3])
+
+    def test_corpus_error_rate(self):
+        expected = [["a", "b", "c"], ["a", "a"]]
+        actual = [["a", "b"], ["a", "a"]]
+        a_ids, a_lengths, b_ids, b_lengths = encode_token_batches(expected, actual)
+        rate = corpus_error_rate(a_ids, a_lengths, b_ids, b_lengths)
+        # 1 deletion over 5 expected symbols.
+        assert rate == pytest.approx(1 / 5)
+
+
+class TestEvaluationFlow:
+    def _write_predictions(self, tmp_path, indexer_state, classifiers):
+        from allophant_tpu.predictions import JsonlWriter, PredictionMetaData, UtterancePrediction
+
+        meta = PredictionMetaData(
+            "test", "ucla-phonetic", ["spa"], "phoible", indexer_state, classifiers,
+            label_inventories={"spa": ["a", "t", "n"]},
+        )
+        path = str(tmp_path / "predictions.jsonl")
+        with JsonlWriter(path, meta) as writer:
+            writer.write(
+                UtterancePrediction(
+                    "spa",
+                    "utt1",
+                    {
+                        "phoneme": [["a", "t"], ["a", "t", "n"]],  # 2 candidates (n-best)
+                        "nasal": [["-", "-", "+"]],
+                    },
+                    labels=[["a", "t", "n"]],
+                )
+            )
+        return path
+
+    def test_compute_statistics(self, tmp_path):
+        from fixtures import mini_allophoible_csv
+        from allophant_tpu.evaluation_runner import compute_edit_statistics, summarize_edit_statistics
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+        from allophant_tpu.predictions import PredictionReader
+
+        indexer = PhoneticAttributeIndexer(FeatureSet.PHOIBLE, mini_allophoible_csv())
+        path = self._write_predictions(tmp_path, indexer.state(), ["phoneme", "nasal"])
+
+        with PredictionReader(path) as reader:
+            statistics = compute_edit_statistics(reader, map_phonemes=False)
+            results = summarize_edit_statistics(statistics, reader.metadata.classifiers, "args")
+
+        # Best candidate is the exact match: zero errors.
+        phoneme_stats = statistics["spa"]["phoneme"]
+        assert phoneme_stats.correct == 3
+        assert phoneme_stats.word_error_rate() == 0.0
+        # nasal expected from features of [a, t, n]: "-", "-", "+" -> exact.
+        assert statistics["spa"]["nasal"].word_error_rate() == 0.0
+        assert results.results["total"].error_rates["phoneme"] == 0.0
+
+    def test_edits_output(self, tmp_path):
+        from fixtures import mini_allophoible_csv
+        from allophant_tpu.evaluation_runner import compute_edits
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+        from allophant_tpu.predictions import PredictionReader
+        from allophant_tpu.phonemes import Action
+
+        indexer = PhoneticAttributeIndexer(FeatureSet.PHOIBLE, mini_allophoible_csv())
+        path = self._write_predictions(tmp_path, indexer.state(), ["phoneme", "nasal"])
+        with PredictionReader(path) as reader:
+            [edits] = list(compute_edits(reader, map_phonemes=False))
+        # First candidate [a, t] vs [a, t, n]: one deletion of n.
+        operations = edits.edit_operations["phoneme"]
+        assert len(operations) == 1
+        assert operations[0][0] == Action.DELETION
+        assert operations[0][1] == "n"
