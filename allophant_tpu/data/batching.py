@@ -172,6 +172,7 @@ def build_batch(
     batch_type: BatchType,
     length_multiple: int = 128,
     pad_batch_to_power_of_two: bool = False,
+    label_multiple: int = 8,
 ) -> Batch:
     """Collates samples into a statically bucketed dense batch. Sequence length is
     rounded up to ``length_multiple``; the batch dimension optionally to a power of
@@ -219,7 +220,7 @@ def build_batch(
     label_lengths: Dict[str, np.ndarray] = {}
     for name in attribute_names:
         per_sample = [np.asarray(sample.attribute_indices[name]) for sample in samples]
-        max_labels = _round_up(max((len(labels) for labels in per_sample), default=1), 8)
+        max_labels = _round_up(max((len(labels) for labels in per_sample), default=1), label_multiple)
         packed = np.zeros((padded_batch, max(max_labels, 1)), dtype=np.int32)
         lengths_array = np.zeros(padded_batch, dtype=np.int32)
         for row, labels in enumerate(per_sample):
@@ -266,6 +267,7 @@ class Batcher:
         data_workers: int | None = 0,
         length_multiple: int = 128,
         pad_batch_to_power_of_two: bool = False,
+        label_multiple: int = 8,
     ):
         self._batch_size = batch_size
         self._batching_mode = batching_mode
@@ -273,6 +275,7 @@ class Batcher:
         self._prefetch = data_workers is None or (data_workers or 0) > 0
         self._length_multiple = length_multiple
         self._pad_batch = pad_batch_to_power_of_two
+        self._label_multiple = label_multiple
 
     @property
     def batch_size(self) -> int:
@@ -311,7 +314,8 @@ class Batcher:
             for indices in index_batches:
                 samples = [data[index] for index in indices]
                 yield build_batch(
-                    samples, data.batch_type, self._length_multiple, self._pad_batch
+                    samples, data.batch_type, self._length_multiple, self._pad_batch,
+                    self._label_multiple,
                 )
 
         iterator = generate()

@@ -230,6 +230,23 @@ class Estimator:
         return self.model.apply(self.variables, np.asarray(lengths), method="downsampled_lengths")
 
     # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        dataset_manager,
+        tensorboard_dir: Optional[str] = None,
+        skip_batches: int = 0,
+    ):
+        """Returns a `TrainingRun` — an iterable yielding `(TrainingStatus,
+        EpochStatistics)` per validation point (reference estimator.py:1001-1033).
+        Variables are updated in place so callers can checkpoint between yields."""
+        from allophant_tpu.training.run import TrainingRun
+
+        return TrainingRun(self, dataset_manager, tensorboard_dir, skip_batches)
+
+    # ------------------------------------------------------------------
     # Checkpointing
     # ------------------------------------------------------------------
 

@@ -1,0 +1,619 @@
+"""High-level training runtime: dataset manager, epoch/step loop, validation, early
+stopping, unfreeze schedule, profiling and metrics.
+
+Counterpart of the reference's `Estimator.train` / `TrainingRun` / `DatasetManager` /
+`EarlyStopping` (reference estimator.py:108-132, 287-402, 486-928) recast for
+XLA: the inner loop is one jit-compiled SPMD train step over stacked microbatches
+(`allophant_tpu.training.train_step`), batches are statically bucketed so the jit
+cache stays small, and accumulation groups are stacked on a leading axis instead of
+drained from a Python list. Yields `(TrainingStatus, EpochStatistics)` per
+validation point exactly like the reference's generator-of-epochs API."""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from enum import Enum
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allophant_tpu.config import BatchingMode, Config, ProfilingConfig
+from allophant_tpu.data.batch import LabeledBatch
+from allophant_tpu.data.batching import Batcher
+from allophant_tpu.data.dataset import (
+    BatchType,
+    PhonemeDataset,
+    PhoneticallySegmentedDataset,
+    SamplesProcessor,
+    TranscribedDataset,
+)
+from allophant_tpu.data.speech_corpus import MultilingualCorpus, MultilingualSplits
+from allophant_tpu.phonetics.attribute_graph import AttributeGraph
+from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+from allophant_tpu.training.train_step import (
+    FreezePlan,
+    build_freeze_plan,
+    build_loss_plan,
+    create_optimizer,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class TrainingStatus(Enum):
+    """Yielded alongside statistics by `TrainingRun` (reference estimator.py:884-928)."""
+
+    STEP = "step"
+    EPOCH = "epoch"
+    IMPROVED = "improved"
+    EARLY_STOPPED = "early_stopped"
+    FINISHED = "finished"
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Patience-based early stopping on validation loss (reference estimator.py:108-132)."""
+
+    patience: Optional[int] = None
+    best_loss: float = math.inf
+    stagnation: int = 0
+
+    def update(self, validation_loss: float) -> bool:
+        """Records a validation result; returns True if it improved on the best."""
+        if validation_loss < self.best_loss:
+            self.best_loss = validation_loss
+            self.stagnation = 0
+            return True
+        self.stagnation += 1
+        return False
+
+    @property
+    def should_stop(self) -> bool:
+        return self.patience is not None and self.stagnation > self.patience
+
+    def state_dict(self) -> Dict[str, Any]:
+        return {"best_loss": self.best_loss, "stagnation": self.stagnation}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> None:
+        self.best_loss = state["best_loss"]
+        self.stagnation = state["stagnation"]
+
+
+@dataclasses.dataclass
+class EpochStatistics:
+    """Per-validation-point statistics with wall-clock deltas (reference
+    estimator.py:170-187)."""
+
+    epoch: int
+    global_step: int
+    train_loss: float
+    classifier_losses: Dict[str, float]
+    validation_loss: Optional[float] = None
+    validation_classifier_losses: Optional[Dict[str, float]] = None
+    learning_rate: Optional[float] = None
+    gradient_norm: Optional[float] = None
+    batch_count: int = 0
+    utterance_count: int = 0
+    duration_seconds: float = 0.0
+
+    def __str__(self) -> str:
+        parts = [
+            f"epoch {self.epoch} step {self.global_step}:",
+            f"train loss {self.train_loss:.4f}",
+        ]
+        if self.validation_loss is not None:
+            parts.append(f"validation loss {self.validation_loss:.4f}")
+        if self.learning_rate is not None:
+            parts.append(f"lr {self.learning_rate:.3e}")
+        parts.append(f"({self.batch_count} batches, {self.duration_seconds:.1f}s)")
+        return " ".join(parts)
+
+
+class _MeanAccumulator:
+    """Accumulates label-count-normalized loss sums over batches."""
+
+    def __init__(self) -> None:
+        self.loss_sum = 0.0
+        self.label_count = 0.0
+        self.head_sums: Dict[str, float] = {}
+
+    def add(self, metrics: Dict[str, Any]) -> None:
+        self.loss_sum += float(metrics["loss_sum"] if "loss_sum" in metrics else metrics["loss"])
+        self.label_count += float(metrics["label_count"])
+        for name, value in metrics.items():
+            if name in ("loss_sum", "loss", "label_count", "mean_loss", "grad_norm"):
+                continue
+            self.head_sums[name] = self.head_sums.get(name, 0.0) + float(value)
+
+    @property
+    def mean_loss(self) -> float:
+        return self.loss_sum / max(self.label_count, 1.0)
+
+    def head_means(self) -> Dict[str, float]:
+        scale = max(self.label_count, 1.0)
+        return {name: value / scale for name, value in self.head_sums.items()}
+
+
+# ---------------------------------------------------------------------------
+# Dataset manager
+# ---------------------------------------------------------------------------
+
+
+# Audio-sample bucket for training shapes: lengths round up to multiples of 2 s at
+# 16 kHz so the jit cache sees ~15 shapes for <=30 s utterances instead of hundreds.
+TRAIN_LENGTH_MULTIPLE = 32_000
+# Label-length bucket (CTC target axis).
+TRAIN_LABEL_MULTIPLE = 32
+
+
+@dataclasses.dataclass
+class DatasetManager:
+    """Couples config + corpus splits + the samples processor; builds training and
+    validation batchers and the attribute graph (reference estimator.py:287-402)."""
+
+    config: Config
+    splits: MultilingualSplits
+    processor: SamplesProcessor
+    train_dataset: PhonemeDataset
+    validation_dataset: Optional[PhonemeDataset]
+    train_lengths: Optional[np.ndarray] = None
+    validation_lengths: Optional[np.ndarray] = None
+    length_multiple: int = TRAIN_LENGTH_MULTIPLE
+    label_multiple: int = TRAIN_LABEL_MULTIPLE
+
+    @property
+    def attribute_indexer(self) -> PhoneticAttributeIndexer:
+        return self.processor.attribute_indexer
+
+    @property
+    def feature_size(self) -> int:
+        return self.processor.feature_size
+
+    @property
+    def split_batch_size(self) -> int:
+        """Per-microbatch size: the configured batch budget divided by the
+        accumulation factor (reference estimator.py:252-256)."""
+        architecture = self.config.nn
+        split = architecture.batch_size // max(architecture.accumulation_factor, 1)
+        return max(split, 1)
+
+    def attribute_graph(self) -> AttributeGraph:
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+
+        return attribute_graph_from_config(self.config, self.attribute_indexer)
+
+    def _batcher(self) -> Batcher:
+        architecture = self.config.nn
+        return Batcher(
+            self.split_batch_size,
+            architecture.batching_mode,
+            architecture.language_oversampling_factor,
+            length_multiple=self.length_multiple,
+            label_multiple=self.label_multiple,
+        )
+
+    def training_batches(self, seed: Optional[int] = None, skip_batches: int = 0):
+        return self._batcher().batches(
+            self.train_dataset,
+            self.train_lengths,
+            shuffle=True,
+            seed=self.config.nn.seed if seed is None else seed,
+            skip_batches=skip_batches,
+        )
+
+    def validation_batches(self):
+        if self.validation_dataset is None:
+            return iter(())
+        batcher = Batcher(
+            self.split_batch_size,
+            self.config.nn.batching_mode,
+            length_multiple=self.length_multiple,
+            label_multiple=self.label_multiple,
+        )
+        return batcher.batches(self.validation_dataset, self.validation_lengths)
+
+    @classmethod
+    def from_config(
+        cls,
+        config: Config,
+        splits: MultilingualSplits,
+        attribute_indexer: PhoneticAttributeIndexer,
+        sample_rate: int = 16_000,
+        train_features=None,
+        validation_features=None,
+        train_lengths: Optional[np.ndarray] = None,
+        validation_lengths: Optional[np.ndarray] = None,
+        length_multiple: int = TRAIN_LENGTH_MULTIPLE,
+        label_multiple: int = TRAIN_LABEL_MULTIPLE,
+    ) -> "DatasetManager":
+        processor = SamplesProcessor.from_config(config, sample_rate, attribute_indexer)
+
+        def build(corpus: MultilingualCorpus, features, inventories=None):
+            if not len(corpus):
+                return None
+            if corpus.UTTERANCE_TYPE == "phonetically-segmented":
+                return PhoneticallySegmentedDataset(
+                    BatchType.INDEXED, corpus, processor, 1, features, inventories
+                )
+            return TranscribedDataset(
+                BatchType.INDEXED, corpus, processor, 1, features, inventories
+            )
+
+        train_dataset = build(splits.train, train_features)
+        if train_dataset is None:
+            raise ValueError("Training split is empty")
+        # Dev labels are filtered to the training vocabulary so CTC targets stay in
+        # range (reference estimator.py:322-330).
+        train_phonemes = set(attribute_indexer.attributes.phonemes)
+        dev_inventories = {
+            splits.dev.language_id(language): train_phonemes for language in splits.dev.languages
+        } or None
+        validation_dataset = build(splits.dev, validation_features, dev_inventories)
+
+        if train_lengths is None:
+            train_lengths = _maybe_lengths(splits.train)
+        if validation_lengths is None and validation_dataset is not None:
+            validation_lengths = _maybe_lengths(splits.dev)
+
+        return cls(
+            config,
+            splits,
+            processor,
+            train_dataset,
+            validation_dataset,
+            train_lengths,
+            validation_lengths,
+            length_multiple,
+            label_multiple,
+        )
+
+
+def _maybe_lengths(corpus: MultilingualCorpus) -> Optional[np.ndarray]:
+    """Per-utterance frame lengths if the corpus can provide them cheaply (audio
+    header probing), required for frame-budget batching."""
+    reader = getattr(corpus, "read_lengths", None)
+    if reader is None:
+        return None
+    try:
+        lengths: List[int] = []
+        for _language, generator in reader():
+            lengths.extend(generator)
+        return np.asarray(lengths, dtype=np.int64)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Microbatch stacking
+# ---------------------------------------------------------------------------
+
+
+def batch_to_arrays(batch: LabeledBatch) -> Dict[str, np.ndarray]:
+    """Flattens a labeled batch into the dict layout the train step consumes."""
+    arrays: Dict[str, np.ndarray] = {
+        "audio": np.asarray(batch.audio_features, dtype=np.float32),
+        "lengths": np.asarray(batch.lengths, dtype=np.int32),
+        "language_ids": np.asarray(batch.language_ids, dtype=np.int32),
+    }
+    for name, labels in batch.attribute_indices.items():
+        arrays[f"labels_{name}"] = np.asarray(labels, dtype=np.int32)
+        arrays[f"label_lengths_{name}"] = np.asarray(batch.label_lengths[name], dtype=np.int32)
+    return arrays
+
+
+def stack_microbatches(batches: List[LabeledBatch]) -> Dict[str, np.ndarray]:
+    """Stacks an accumulation group on a leading axis, padding members to the group
+    maximum along batch/time/label axes (bucketing makes shapes mostly equal)."""
+    dicts = [batch_to_arrays(batch) for batch in batches]
+    keys = dicts[0].keys()
+    stacked: Dict[str, np.ndarray] = {}
+    for key in keys:
+        arrays = [entry[key] for entry in dicts]
+        target_shape = tuple(
+            max(array.shape[axis] for array in arrays) for axis in range(arrays[0].ndim)
+        )
+        padded = []
+        for array in arrays:
+            if array.shape != target_shape:
+                widths = [(0, target - size) for size, target in zip(array.shape, target_shape)]
+                array = np.pad(array, widths)
+            padded.append(array)
+        stacked[key] = np.stack(padded)
+    # Filler rows created by batch-axis padding must keep nonzero audio lengths so
+    # downstream masking math stays valid; their label lengths stay 0 and CTC's
+    # zero_infinity semantics zero their losses.
+    lengths = stacked["lengths"]
+    stacked["lengths"] = np.maximum(lengths, 1)
+    return stacked
+
+
+def _group(iterator: Iterator, size: int, drop_last: bool) -> Iterator[List]:
+    group: List = []
+    for item in iterator:
+        group.append(item)
+        if len(group) == size:
+            yield group
+            group = []
+    if group and not drop_last:
+        yield group
+
+
+# ---------------------------------------------------------------------------
+# Profiling
+# ---------------------------------------------------------------------------
+
+
+class StepProfiler:
+    """jax.profiler trace over a step window (reference estimator.py:405-418,
+    829-842 used torch.profiler with wait=1/warmup=2/active=N)."""
+
+    WAIT_STEPS = 3
+
+    def __init__(self, config: Optional[ProfilingConfig]) -> None:
+        self._config = config
+        self._active = False
+        self._done = config is None or not config.tensorboard_dir
+
+    def step(self, global_step: int) -> None:
+        if self._done:
+            return
+        if not self._active and global_step >= self.WAIT_STEPS:
+            jax.profiler.start_trace(self._config.tensorboard_dir)
+            self._active = True
+            self._stop_at = global_step + max(self._config.active_steps, 1)
+        elif self._active and global_step >= self._stop_at:
+            self.stop()
+
+    def stop(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+        self._done = True
+
+
+class MetricsLogger:
+    """Optional TensorBoard logging (reference estimator.py:521-565)."""
+
+    def __init__(self, log_dir: Optional[str]) -> None:
+        self._writer = None
+        if log_dir:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(log_dir)
+
+    def log_step(self, step: int, metrics: Dict[str, float], prefix: str = "training") -> None:
+        if self._writer is None:
+            return
+        for name, value in metrics.items():
+            self._writer.add_scalar(f"{prefix}/{name}", value, step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+# ---------------------------------------------------------------------------
+# Training run
+# ---------------------------------------------------------------------------
+
+
+class TrainingRun:
+    """Iterable training loop yielding `(TrainingStatus, EpochStatistics)` at every
+    validation point (each `step_size` updates if configured, else per epoch), with
+    a trailing `(FINISHED | EARLY_STOPPED, stats)` (reference estimator.py:800-928).
+
+    Mutates the estimator's variables in place after every yield so callers can
+    checkpoint between epochs exactly like the reference CLI does."""
+
+    def __init__(
+        self,
+        estimator,
+        dataset_manager: DatasetManager,
+        tensorboard_dir: Optional[str] = None,
+        skip_batches: int = 0,
+    ) -> None:
+        self._estimator = estimator
+        self._manager = dataset_manager
+        self._config = estimator.config
+        architecture = self._config.nn
+        self._accumulation = max(architecture.accumulation_factor, 1)
+        self._skip_batches = skip_batches
+
+        model = estimator.built.model
+        d_model = _model_size(estimator)
+        self._optimizer = create_optimizer(architecture, d_model)
+        loss_plan = build_loss_plan(architecture, model.plan.allophone_shape is not None)
+        freeze_plan = build_freeze_plan(architecture.acoustic_model)
+        self._train_step = jax.jit(
+            make_train_step(model, self._optimizer, loss_plan, freeze_plan), donate_argnums=(0, 1)
+        )
+        self._eval_step = jax.jit(make_eval_step(model, loss_plan))
+        self._lr_schedule = (
+            architecture.lr_schedule.schedule(d_model) if architecture.lr_schedule else None
+        )
+
+        self.early_stopping = EarlyStopping(architecture.early_stopping_patience)
+        self.global_step = int(estimator.epoch.global_step or 0)
+        self._profiler = StepProfiler(self._config.profiling)
+        self._metrics = MetricsLogger(tensorboard_dir)
+        self.optimizer_state = None
+
+    def _variables(self) -> Tuple[Dict, Dict]:
+        variables = dict(self._estimator.variables)
+        params = variables.pop("params")
+        return params, variables
+
+    def _sync_back(self, params) -> None:
+        self._estimator.variables = {**self._estimator.variables, "params": params}
+
+    def _validate(self, params, other_variables) -> Optional[_MeanAccumulator]:
+        if self._manager.validation_dataset is None:
+            return None
+        accumulator = _MeanAccumulator()
+        for batch in self._manager.validation_batches():
+            metrics = self._eval_step(params, other_variables, batch_to_arrays(batch))
+            accumulator.add(jax.tree_util.tree_map(float, metrics))
+        return accumulator
+
+    def __iter__(self) -> Iterator[Tuple[TrainingStatus, EpochStatistics]]:
+        architecture = self._config.nn
+        params, other_variables = self._variables()
+        opt_state = self.optimizer_state
+        if opt_state is None:
+            opt_state = self._optimizer.init(params)
+        rng = jax.random.PRNGKey(architecture.seed or 0)
+        step_size = architecture.step_size
+        maximum_iterations = architecture.maximum_iterations
+
+        epoch = int(self._estimator.epoch.epoch or 0)
+        stopped = False
+        final_status = TrainingStatus.FINISHED
+
+        try:
+            while not stopped and (maximum_iterations is None or epoch < maximum_iterations):
+                epoch_started = time.perf_counter()
+                window = _MeanAccumulator()
+                window_batches = 0
+                window_utterances = 0
+                last_grad_norm = None
+                skip = self._skip_batches if epoch == int(self._estimator.epoch.epoch or 0) else 0
+
+                groups = _group(
+                    self._manager.training_batches(
+                        seed=(architecture.seed or 0) + epoch, skip_batches=skip
+                    ),
+                    self._accumulation,
+                    drop_last=True,
+                )
+                for group in groups:
+                    microbatches = stack_microbatches(group)
+                    rng, step_rng = jax.random.split(rng)
+                    params, opt_state, metrics = self._train_step(
+                        params,
+                        opt_state,
+                        other_variables,
+                        microbatches,
+                        step_rng,
+                        jnp.asarray(self.global_step, jnp.int32),
+                    )
+                    self.global_step += 1
+                    host_metrics = jax.tree_util.tree_map(float, metrics)
+                    window.add(host_metrics)
+                    last_grad_norm = host_metrics.get("grad_norm")
+                    window_batches += len(group)
+                    window_utterances += sum(len(batch) for batch in group)
+                    self._profiler.step(self.global_step)
+                    self._metrics.log_step(
+                        self.global_step,
+                        {
+                            "loss": host_metrics["mean_loss"],
+                            "gradient_norm": host_metrics["grad_norm"],
+                            **(
+                                {"learning_rate": float(self._lr_schedule(self.global_step - 1))}
+                                if self._lr_schedule
+                                else {}
+                            ),
+                        },
+                    )
+
+                    if step_size is not None and self.global_step % step_size == 0:
+                        status, statistics, stopped = self._validation_point(
+                            params, other_variables, opt_state, epoch, window,
+                            window_batches, window_utterances, last_grad_norm, epoch_started,
+                            TrainingStatus.STEP,
+                        )
+                        yield status, statistics
+                        if stopped:
+                            final_status = TrainingStatus.EARLY_STOPPED
+                            break
+                        window = _MeanAccumulator()
+                        window_batches = 0
+                        window_utterances = 0
+                        epoch_started = time.perf_counter()
+
+                if stopped:
+                    break
+                epoch += 1
+                self._estimator.epoch.epoch = epoch
+                if step_size is None:
+                    status, statistics, stopped = self._validation_point(
+                        params, other_variables, opt_state, epoch, window,
+                        window_batches, window_utterances, last_grad_norm, epoch_started,
+                        TrainingStatus.EPOCH,
+                    )
+                    yield status, statistics
+                    if stopped:
+                        final_status = TrainingStatus.EARLY_STOPPED
+                        break
+        finally:
+            self._profiler.stop()
+            self._metrics.close()
+            self._sync_back(params)
+            self.optimizer_state = opt_state
+
+        self._sync_back(params)
+        self.optimizer_state = opt_state
+        yield final_status, EpochStatistics(
+            epoch, self.global_step, 0.0, {}, validation_loss=self.early_stopping.best_loss
+        )
+
+    def _validation_point(
+        self,
+        params,
+        other_variables,
+        opt_state,
+        epoch: int,
+        window: _MeanAccumulator,
+        window_batches: int,
+        window_utterances: int,
+        last_grad_norm: Optional[float],
+        window_started: float,
+        base_status: TrainingStatus,
+    ) -> Tuple[TrainingStatus, EpochStatistics, bool]:
+        validation = self._validate(params, other_variables)
+        validation_loss = None if validation is None else validation.mean_loss
+        improved = validation_loss is not None and self.early_stopping.update(validation_loss)
+        if validation_loss is not None:
+            self._metrics.log_step(
+                self.global_step, {"loss": validation_loss}, prefix="validation"
+            )
+
+        statistics = EpochStatistics(
+            epoch=epoch,
+            global_step=self.global_step,
+            train_loss=window.mean_loss,
+            classifier_losses=window.head_means(),
+            validation_loss=validation_loss,
+            validation_classifier_losses=None if validation is None else validation.head_means(),
+            learning_rate=(
+                float(self._lr_schedule(self.global_step - 1)) if self._lr_schedule else None
+            ),
+            gradient_norm=last_grad_norm,
+            batch_count=window_batches,
+            utterance_count=window_utterances,
+            duration_seconds=time.perf_counter() - window_started,
+        )
+        # Expose current state for checkpointing callbacks between yields.
+        self._sync_back(params)
+        self.optimizer_state = opt_state
+        self._estimator.epoch.global_step = self.global_step
+        self._estimator.history.append(dataclasses.asdict(statistics))
+
+        status = TrainingStatus.IMPROVED if improved else base_status
+        return status, statistics, self.early_stopping.should_stop
+
+
+def _model_size(estimator) -> int:
+    """Warmup-schedule d_model (reference `WarmupInfo`, config.py:78-88)."""
+    model = estimator.built.model
+    config = model.acoustic_config
+    hidden_size = getattr(config, "hidden_size", None)
+    if hidden_size:
+        return int(hidden_size)
+    from allophant_tpu.models.transformer import TransformerAcousticModel
+
+    return int(TransformerAcousticModel(config, model.feature_size).d_model)

@@ -80,20 +80,21 @@ def multitask_loss(
     params: Dict,
     batch: Dict[str, jnp.ndarray],
     loss_plan: LossPlan,
-    dropout_rng,
+    dropout_rng=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Computes the training objective on one microbatch.
 
     ``batch`` keys: audio [B, T], lengths [B], language_ids [B], and per-head
-    ``labels_<name>`` [B, N] / ``label_lengths_<name>`` [B]."""
+    ``labels_<name>`` [B, N] / ``label_lengths_<name>`` [B]. With no ``dropout_rng``
+    the forward pass is deterministic (validation, reference estimator.py:589-674)."""
     merged = {**variables, "params": params}
     predictions = model.apply(
         merged,
         batch["audio"],
         batch["lengths"],
         batch["language_ids"],
-        deterministic=False,
-        rngs={"dropout": dropout_rng},
+        deterministic=dropout_rng is None,
+        rngs=None if dropout_rng is None else {"dropout": dropout_rng},
     )
     outputs = predictions.outputs
 
@@ -126,17 +127,100 @@ def multitask_loss(
     return objective, metrics
 
 
+@dataclasses.dataclass(frozen=True)
+class FreezePlan:
+    """Static gradient-masking plan for parameter groups of the acoustic model.
+
+    Each entry maps a parameter subtree prefix (under ``params``) to an unfreeze
+    step: ``None`` keeps the group frozen for the whole run; an integer unfreezes it
+    once the global update step reaches that value (reference ``UnfreezeSchedule``,
+    acoustic_model.py:856-905). Groups not listed are always trainable."""
+
+    groups: Tuple[Tuple[Tuple[str, ...], Optional[int]], ...] = ()
+
+    def __bool__(self) -> bool:
+        return bool(self.groups)
+
+
+def build_freeze_plan(acoustic_config) -> FreezePlan:
+    """Derives the freeze plan from a ``Wav2Vec2PretrainedConfig`` (freeze flags +
+    optional unfreeze schedule); other acoustic models train all parameters."""
+    from allophant_tpu.config import Wav2Vec2PretrainedConfig
+
+    if not isinstance(acoustic_config, Wav2Vec2PretrainedConfig):
+        return FreezePlan()
+    schedule = acoustic_config.unfreeze_schedule
+    groups = []
+    for frozen, schedule_steps, subtree in (
+        (
+            acoustic_config.freeze_feature_encoder,
+            None if schedule is None else schedule.feature_encoder_steps,
+            "feature_extractor",
+        ),
+        (
+            acoustic_config.freeze_feature_projection,
+            None if schedule is None else schedule.feature_projection_steps,
+            "feature_projection",
+        ),
+        (
+            acoustic_config.freeze_encoder,
+            None if schedule is None else schedule.encoder_steps,
+            "encoder",
+        ),
+    ):
+        if frozen or schedule_steps is not None:
+            groups.append((("acoustic_model", subtree), schedule_steps))
+    return FreezePlan(tuple(groups))
+
+
+def apply_freeze_plan(grads, plan: FreezePlan, step):
+    """Zeroes gradients of frozen groups; step-scheduled groups use a dynamic
+    ``step >= threshold`` factor so unfreezing does not retrigger compilation."""
+    if not plan:
+        return grads
+    factors = {
+        prefix: (
+            jnp.zeros((), jnp.float32)
+            if threshold is None
+            else (step >= threshold).astype(jnp.float32)
+        )
+        for prefix, threshold in plan.groups
+    }
+
+    def scale(path, leaf):
+        names = tuple(getattr(entry, "key", getattr(entry, "name", entry)) for entry in path)
+        for prefix, factor in factors.items():
+            if names[: len(prefix)] == prefix:
+                return leaf * factor
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(scale, grads)
+
+
+def make_eval_step(model: AllophantModel, loss_plan: LossPlan) -> Callable:
+    """Returns a jittable deterministic validation step: (params, buffers, batch) ->
+    {loss_sum, label_count, per-head loss sums} (reference estimator.py:589-674)."""
+
+    def eval_step(params, other_variables, batch):
+        _objective, metrics = multitask_loss(model, other_variables, params, batch, loss_plan)
+        return metrics
+
+    return eval_step
+
+
 def make_train_step(
     model: AllophantModel,
     optimizer: optax.GradientTransformation,
     loss_plan: LossPlan,
+    freeze_plan: FreezePlan = FreezePlan(),
 ) -> Callable:
     """Returns a jittable train step over (params, opt_state, buffers, microbatches).
 
     ``microbatches`` is a pytree of arrays with a leading accumulation axis [A, ...];
-    gradients are accumulated with ``lax.scan`` and applied once."""
+    gradients are accumulated with ``lax.scan`` and applied once. ``global_step``
+    drives the unfreeze schedule (ignored without one)."""
 
-    def train_step(params, opt_state, other_variables, microbatches, step_rng):
+    def train_step(params, opt_state, other_variables, microbatches, step_rng, global_step=0):
         grad_fn = jax.value_and_grad(
             lambda p, micro, rng: multitask_loss(model, other_variables, p, micro, loss_plan, rng),
             has_aux=True,
@@ -166,6 +250,7 @@ def make_train_step(
         # already label-count normalized, matching the reference's per-minibatch mean
         # backward then single optimizer step).
         grads = jax.tree_util.tree_map(lambda g: g / num_micro, grads)
+        grads = apply_freeze_plan(grads, freeze_plan, global_step)
 
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

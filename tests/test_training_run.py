@@ -1,0 +1,212 @@
+"""Training runtime tests: dataset manager, full training loop, early stopping,
+freeze plans and microbatch stacking."""
+
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from allophant_tpu.config import Config, UnfreezeScheduleConfig, Wav2Vec2PretrainedConfig
+from allophant_tpu.data.speech_corpus import MultilingualSplits
+from allophant_tpu.data.ucla import UCLAPhoneticCorpus
+from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+from allophant_tpu.training.estimator import Estimator
+from allophant_tpu.training.run import (
+    DatasetManager,
+    EarlyStopping,
+    TrainingStatus,
+    stack_microbatches,
+)
+from allophant_tpu.training.train_step import apply_freeze_plan, build_freeze_plan
+from allophant_tpu.data.batch import LabeledBatch
+
+from fixtures import mini_allophoible_csv, mini_config_dict
+
+
+def _write_wav(path, samples: np.ndarray, rate: int = 16000):
+    data = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as file:
+        file.setnchannels(1)
+        file.setsampwidth(2)
+        file.setframerate(rate)
+        file.writeframes(data.tobytes())
+
+
+@pytest.fixture
+def tiny_corpus(tmp_path):
+    """Tiny UCLA-format corpus: 2 languages x 3 utterances with real WAVs."""
+    rng = np.random.default_rng(3)
+    for language, phonemes in [("spa", ["a", "t", "n"]), ("ita", ["a", "s", "i"])]:
+        base = tmp_path / language
+        (base / "audio").mkdir(parents=True)
+        with open(base / "inventory", "w", encoding="utf-8") as file:
+            for phoneme in phonemes:
+                file.write(f"{phoneme} 5\n")
+        with open(base / "raw", "w", encoding="utf-8") as raw, open(
+            base / "text", "w", encoding="utf-8"
+        ) as text:
+            for index in range(3):
+                utterance = f"{language}_{index}"
+                raw.write(f"{utterance} rawform\n")
+                text.write(f"{utterance} {' '.join(phonemes)}\n")
+                _write_wav(
+                    base / "audio" / f"{utterance}.wav",
+                    rng.uniform(-0.3, 0.3, 1600 + 160 * index).astype(np.float32),
+                )
+    return UCLAPhoneticCorpus.load(str(tmp_path), resample=16000)
+
+
+def _build_training_setup(tiny_corpus, config_overrides=None):
+    config_dict = mini_config_dict()
+    config_dict["nn"]["batch_size"] = 4
+    config_dict["nn"]["maximum_iterations"] = 2
+    config_dict["nn"]["accumulation_factor"] = 2
+    if config_overrides:
+        config_dict["nn"].update(config_overrides)
+    config = Config.load(config_dict)
+    indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+    splits = MultilingualSplits.single(tiny_corpus, "train")
+    splits.dev = tiny_corpus
+    manager = DatasetManager.from_config(
+        config, splits, indexer, length_multiple=128, label_multiple=8
+    )
+    estimator = Estimator.from_config(
+        config,
+        manager.feature_size,
+        16_000,
+        manager.attribute_graph(),
+        indexer,
+        load_pretrained_weights=False,
+    )
+    return config, manager, estimator
+
+
+class TestDatasetManager:
+    def test_split_batch_size(self, tiny_corpus):
+        _config, manager, _estimator = _build_training_setup(tiny_corpus)
+        assert manager.split_batch_size == 2  # batch 4 / accumulation 2
+
+    def test_training_and_validation_batches(self, tiny_corpus):
+        _config, manager, _estimator = _build_training_setup(tiny_corpus)
+        train_batches = list(manager.training_batches(seed=0))
+        assert train_batches and all(isinstance(batch, LabeledBatch) for batch in train_batches)
+        batch = train_batches[0]
+        assert batch.audio_features.shape[1] % 128 == 0
+        # Blank offset applied: label ids >= 1 for real entries.
+        for name, labels in batch.attribute_indices.items():
+            lengths = batch.label_lengths[name]
+            for row, count in enumerate(lengths):
+                assert (labels[row, :count] >= 1).all()
+        assert list(manager.validation_batches())
+
+
+class TestTrainingRun:
+    def test_full_loop(self, tiny_corpus):
+        _config, manager, estimator = _build_training_setup(tiny_corpus)
+        before = jax.tree_util.tree_map(np.asarray, estimator.variables["params"])
+
+        results = list(estimator.train(manager))
+        statuses = [status for status, _stats in results]
+        assert statuses[-1] == TrainingStatus.FINISHED
+        # One yield per epoch + the trailing FINISHED.
+        assert len(results) == 3
+
+        for status, stats in results[:-1]:
+            assert status in (TrainingStatus.EPOCH, TrainingStatus.IMPROVED)
+            assert np.isfinite(stats.train_loss)
+            assert stats.validation_loss is not None and np.isfinite(stats.validation_loss)
+            assert stats.batch_count > 0
+
+        after = estimator.variables["params"]
+        changed = jax.tree_util.tree_map(
+            lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)), before, after
+        )
+        assert any(jax.tree_util.tree_leaves(changed))
+        # History recorded for checkpointing.
+        assert len(estimator.history) == 2
+        assert estimator.epoch.epoch == 2
+
+    def test_step_based_validation(self, tiny_corpus):
+        _config, manager, estimator = _build_training_setup(
+            tiny_corpus, {"step_size": 1, "maximum_iterations": 1}
+        )
+        results = list(estimator.train(manager))
+        step_results = [status for status, _ in results[:-1]]
+        assert all(
+            status in (TrainingStatus.STEP, TrainingStatus.IMPROVED) for status in step_results
+        )
+        assert len(step_results) >= 1
+
+
+class TestEarlyStopping:
+    def test_patience(self):
+        stopper = EarlyStopping(patience=1)
+        assert stopper.update(1.0)
+        assert not stopper.update(1.5)
+        assert not stopper.should_stop
+        assert not stopper.update(1.4)
+        assert stopper.should_stop
+
+    def test_state_roundtrip(self):
+        stopper = EarlyStopping(patience=2)
+        stopper.update(0.5)
+        restored = EarlyStopping(patience=2)
+        restored.load_state_dict(stopper.state_dict())
+        assert restored.best_loss == 0.5
+
+
+class TestFreezePlan:
+    def test_plan_from_config(self):
+        config = Wav2Vec2PretrainedConfig(
+            "some-model",
+            freeze_feature_encoder=True,
+            freeze_encoder=True,
+            unfreeze_schedule=UnfreezeScheduleConfig(encoder_steps=10),
+        )
+        plan = build_freeze_plan(config)
+        groups = dict(plan.groups)
+        assert groups[("acoustic_model", "feature_extractor")] is None
+        assert groups[("acoustic_model", "encoder")] == 10
+
+    def test_apply_masks_gradients(self):
+        config = Wav2Vec2PretrainedConfig(
+            "some-model",
+            freeze_feature_encoder=True,
+            unfreeze_schedule=UnfreezeScheduleConfig(feature_encoder_steps=5),
+        )
+        plan = build_freeze_plan(config)
+        grads = {
+            "acoustic_model": {
+                "feature_extractor": {"kernel": jnp.ones(3)},
+                "encoder": {"kernel": jnp.ones(3)},
+            },
+            "projection": {"kernel": jnp.ones(3)},
+        }
+        frozen = apply_freeze_plan(grads, plan, jnp.asarray(2))
+        assert np.allclose(frozen["acoustic_model"]["feature_extractor"]["kernel"], 0.0)
+        assert np.allclose(frozen["acoustic_model"]["encoder"]["kernel"], 1.0)
+        assert np.allclose(frozen["projection"]["kernel"], 1.0)
+        unfrozen = apply_freeze_plan(grads, plan, jnp.asarray(7))
+        assert np.allclose(unfrozen["acoustic_model"]["feature_extractor"]["kernel"], 1.0)
+
+
+class TestStackMicrobatches:
+    def test_pads_to_group_maximum(self):
+        def make(batch, time, labels):
+            return LabeledBatch(
+                np.zeros((batch, time), dtype=np.float32),
+                np.full(batch, time, dtype=np.int32),
+                np.zeros(batch, dtype=np.int32),
+                {"phoneme": np.ones((batch, labels), dtype=np.int32)},
+                {"phoneme": np.full(batch, labels, dtype=np.int32)},
+            )
+
+        stacked = stack_microbatches([make(2, 128, 4), make(1, 256, 8)])
+        assert stacked["audio"].shape == (2, 2, 256)
+        assert stacked["labels_phoneme"].shape == (2, 2, 8)
+        # Filler rows keep nonzero audio lengths, zero label lengths.
+        assert stacked["lengths"].min() >= 1
+        assert stacked["label_lengths_phoneme"][1, 1] == 0
