@@ -39,6 +39,18 @@ from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
 from allophant_tpu.phonetics.segmentation import SEGMENTATION_LOGGER
 
 
+LANGUAGE_META_URL_TEMPLATE = "https://commonvoice.mozilla.org/dist/releases/cv-corpus-{}.json"
+
+
+def download_release_meta(version: str) -> Any:
+    """Fetches release metadata for a Common Voice version (reference
+    mozilla_common_voice.py:117-118). Requires network access."""
+    import urllib.request
+
+    with urllib.request.urlopen(LANGUAGE_META_URL_TEMPLATE.format(version)) as response:
+        return json.load(response)
+
+
 @dataclass
 class RawTranscription:
     """An orthographic Common Voice utterance."""

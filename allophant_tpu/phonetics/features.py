@@ -723,8 +723,14 @@ class PhoneticAttributeIndexer(PhonemeIndexer):
             if ProjectionEntryConfig.OUTPUT_PATTERN.match(attribute):
                 del existing_entries[attribute]
 
-        if state_dict is not None and isinstance(state_dict.language_allophones, LanguageAllophoneMappings):
-            language_allophone_mappings: LanguageInventoryTypes = state_dict.language_allophones
+        if state_dict is not None:
+            # Checkpoint states are self-contained: the embedded CSV text and phoneme
+            # inventory always apply; allophone mappings only when present.
+            language_allophone_mappings: LanguageInventoryTypes = (
+                state_dict.language_allophones
+                if isinstance(state_dict.language_allophones, LanguageAllophoneMappings)
+                else None
+            )
             phoneme_subset: Sequence[str] | None = state_dict.phoneme_inventory
             attribute_table_file = state_dict.table_file
         elif language_inventories is not None:

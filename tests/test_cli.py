@@ -1,0 +1,142 @@
+"""CLI tests: generate-config, predict -> evaluate -> edits -> error-rates round
+trip on a tiny UCLA-format corpus, and the data CLI's save-lengths/stats."""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from allophant_tpu.cli import data as data_cli
+from allophant_tpu.cli import error_rates as error_rates_cli
+from allophant_tpu.cli import run as run_cli
+from allophant_tpu.config import Config
+from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+from allophant_tpu.training.estimator import Estimator
+from allophant_tpu.models.allophant import attribute_graph_from_config
+
+from fixtures import mini_allophoible_csv, mini_config_dict
+
+
+def _write_wav(path, samples: np.ndarray, rate: int = 16000):
+    data = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as file:
+        file.setnchannels(1)
+        file.setsampwidth(2)
+        file.setframerate(rate)
+        file.writeframes(data.tobytes())
+
+
+@pytest.fixture
+def ucla_dir(tmp_path):
+    corpus_root = tmp_path / "corpus"
+    rng = np.random.default_rng(0)
+    for language, phonemes in [("spa", ["a", "t", "n"]), ("ita", ["a", "s"])]:
+        base = corpus_root / language
+        (base / "audio").mkdir(parents=True)
+        with open(base / "inventory", "w", encoding="utf-8") as file:
+            for phoneme in phonemes:
+                file.write(f"{phoneme} 5\n")
+        with open(base / "raw", "w", encoding="utf-8") as raw, open(
+            base / "text", "w", encoding="utf-8"
+        ) as text:
+            for index in range(2):
+                utterance = f"{language}_{index}"
+                raw.write(f"{utterance} rawform\n")
+                text.write(f"{utterance} {' '.join(phonemes)}\n")
+                _write_wav(
+                    base / "audio" / f"{utterance}.wav",
+                    rng.uniform(-0.3, 0.3, 1600 + 320 * index).astype(np.float32),
+                )
+    return str(corpus_root)
+
+
+@pytest.fixture
+def saved_checkpoint(tmp_path):
+    """A native checkpoint of a tiny untrained shared-phoneme model."""
+    config = Config.load(mini_config_dict())
+    indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+    estimator = Estimator.from_config(
+        config, 1, 16_000, attribute_graph_from_config(config, indexer), indexer,
+        load_pretrained_weights=False,
+    )
+    checkpoint_path = str(tmp_path / "model.ckpt")
+    estimator.save(checkpoint_path, phonetic_indexer_state=indexer.state())
+    return checkpoint_path
+
+
+class TestGenerateConfig:
+    def test_to_file(self, tmp_path, capsys):
+        target = tmp_path / "config.toml"
+        run_cli.main(["generate-config", str(target)])
+        loaded = Config.from_toml(str(target))
+        assert loaded.nn.batch_size > 0
+
+    def test_to_stdout(self, capsys):
+        run_cli.main(["generate-config"])
+        output = capsys.readouterr().out
+        assert "batch_size" in output
+
+
+class TestPredictEvaluateRoundTrip:
+    def test_full_pipeline(self, ucla_dir, saved_checkpoint, tmp_path, capsys):
+        predictions_path = str(tmp_path / "predictions.jsonl")
+        run_cli.main(
+            [
+                "predict",
+                ucla_dir,
+                saved_checkpoint,
+                "--cpu",
+                "--no-progress",
+                "-t",
+                "ucla-phonetic",
+                "-m",
+                "utterances",
+                "-s",
+                "2",
+                "-o",
+                predictions_path,
+            ]
+        )
+        with open(predictions_path, "r", encoding="utf-8") as file:
+            lines = file.readlines()
+        metadata = json.loads(lines[0])
+        assert set(metadata["languages"]) == {"ita", "spa"}
+        assert len(lines) == 5  # header + 4 utterances
+        prediction = json.loads(lines[1])
+        assert "phoneme" in prediction["predictions"]
+        assert prediction["labels"] is not None
+
+        results_path = str(tmp_path / "results.json")
+        run_cli.main(["evaluate", predictions_path, "--no-remap", "-j", "-o", results_path])
+        with open(results_path, "r", encoding="utf-8") as file:
+            results = json.load(file)
+        assert "total" in results["results"]
+        assert "phoneme" in results["results"]["total"]["error_rates"]
+        # Untrained model: error rates are high but well-formed.
+        for rates in results["results"].values():
+            for value in rates["error_rates"].values():
+                assert value >= 0.0
+
+        edits_path = str(tmp_path / "edits.jsonl")
+        run_cli.main(["edits", predictions_path, "--no-remap", "-o", edits_path])
+        with open(edits_path, "r", encoding="utf-8") as file:
+            edit_lines = file.readlines()
+        assert len(edit_lines) == 5
+        edit_entry = json.loads(edit_lines[1])
+        assert "edit_operations" in edit_entry
+
+        error_rates_cli.main([results_path])
+        report = capsys.readouterr().out
+        assert "Average" in report
+
+
+class TestDataCli:
+    def test_stats_requires_common_voice(self, ucla_dir, capsys):
+        with pytest.raises(SystemExit):
+            data_cli.main(["stats", ucla_dir, "-t", "ucla-phonetic"])
+
+    def test_parse_limits(self):
+        assert data_cli._parse_limits("100") == 100
+        assert data_cli._parse_limits('{"es": 5}') == {"es": 5}
