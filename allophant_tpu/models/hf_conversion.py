@@ -84,6 +84,7 @@ def convert_wav2vec2_state(
         }
     }
     _layer_norm(encoder, "encoder.layer_norm", state, "layer_norm")
+    layers = []
     for layer_id in range(architecture.num_hidden_layers):
         layer_prefix = f"encoder.layers.{layer_id}"
         attention: Dict = {}
@@ -96,7 +97,11 @@ def convert_wav2vec2_state(
         _linear(feed_forward, f"{layer_prefix}.feed_forward.intermediate_dense", state, "intermediate_dense")
         _linear(feed_forward, f"{layer_prefix}.feed_forward.output_dense", state, "output_dense")
         layer["feed_forward"] = feed_forward
-        encoder[f"layers_{layer_id}"] = layer
+        layers.append(layer)
+    # Encoder layers run under nn.scan: leaves are stacked on a leading [L] axis.
+    import jax
+
+    encoder["layers"] = jax.tree_util.tree_map(lambda *leaves: np.stack(leaves), *layers)
 
     return {
         "feature_extractor": feature_extractor,

@@ -191,15 +191,18 @@ class PreLNTransformerLayer(nn.Module):
                 batch, time, heads, head_dim
             )
 
-        query = project("q_proj") * head_dim**-0.5
-        key = project("k_proj")
-        value = project("v_proj")
-        logits = jnp.einsum("bthd,bshd->bhts", query, key)
-        if pad_mask is not None:
-            logits = jnp.where(pad_mask[:, None, None, :], logits, -1e9)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(hidden.dtype)
-        weights = nn.Dropout(self.dropout_rate)(weights, deterministic=deterministic)
-        attention = jnp.einsum("bhts,bshd->bthd", weights, value).reshape(batch, time, self.d_model)
+        from allophant_tpu.ops.attention import multi_head_attention
+
+        attention = multi_head_attention(
+            project("q_proj"),
+            project("k_proj"),
+            project("v_proj"),
+            pad_mask,
+            sm_scale=head_dim**-0.5,
+            dropout_module=nn.Dropout(self.dropout_rate),
+            deterministic=deterministic,
+            dropout_rate=self.dropout_rate,
+        ).reshape(batch, time, self.d_model)
         attention = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(attention)
         hidden = hidden + nn.Dropout(self.dropout_rate)(attention, deterministic=deterministic)
 

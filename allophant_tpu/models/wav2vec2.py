@@ -12,7 +12,9 @@ Design differences from the torch implementation, driven by XLA/TPU:
 - Batch-first [B, T, D] layout throughout; static padded shapes with integer lengths
   (masks computed inside jit, no dynamic shapes).
 - The positional-conv weight norm is folded into a plain kernel at load time.
-- Attention uses one fused QKV-style einsum path per layer with an additive bias.
+- Attention routes through the Pallas TPU flash-attention kernel with segment-id
+  padding masks (einsum fallback for CPU and attention-dropout training).
+- The first feature-extractor conv + LayerNorm + GELU run as one fused Pallas kernel.
 - Compute dtype is configurable (bf16 on TPU) with f32 parameters.
 """
 
@@ -25,10 +27,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from allophant_tpu.ops import masking
-
-# Large negative logit standing in for -inf in masked attention; matches torch's
-# dtype-min semantics closely enough after softmax while staying bf16-safe.
-_MASK_BIAS = -1e9
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,19 +90,83 @@ class Wav2Vec2Architecture:
         return dataclasses.replace(self, num_hidden_layers=maximum_encoder_layers)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching ``nn.Conv``'s tree (kernel [K, Cin, Cout], bias)
+    for layers computed by a fused Pallas kernel instead of the flax module."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        )
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter holder matching ``nn.LayerNorm``'s tree (scale, bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class ConvFeatureEncoder(nn.Module):
-    """Stack of strided 1D convolutions over raw audio: [B, T] -> [B, T', C]."""
+    """Stack of strided 1D convolutions over raw audio: [B, T] -> [B, T', C].
+
+    The first layer (kernel 10, stride 5, 1 channel in — where the MXU would run
+    nearly empty) is computed by the fused Pallas frame-encoder kernel
+    (:func:`allophant_tpu.ops.frame_encoder.fused_frame_conv`) when the architecture
+    uses per-layer LayerNorm (XLS-R); the parameter tree is identical either way."""
 
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
+    fuse_first_layer: bool = True
 
     @nn.compact
     def __call__(self, audio):
         arch = self.architecture
-        hidden = audio[:, :, None].astype(self.dtype)  # [B, T, 1]
+        first_fused = (
+            self.fuse_first_layer
+            and arch.feat_extract_norm == "layer"
+            and arch.conv_kernel[0] == 10
+            and arch.conv_stride[0] == 5
+        )
+        if first_fused:
+            from allophant_tpu.ops.frame_encoder import fused_frame_conv
+
+            kernel, bias = _ConvParams(arch.conv_dim[0], 10, 1, arch.conv_bias, name="conv_0")()
+            scale, ln_bias = _LayerNormParams(arch.conv_dim[0], name="layer_norm_0")()
+            hidden = fused_frame_conv(
+                audio,
+                kernel,
+                bias if bias is not None else jnp.zeros((arch.conv_dim[0],), jnp.float32),
+                scale,
+                ln_bias,
+                eps=arch.layer_norm_eps,
+                out_dtype=self.dtype,
+            )
+        else:
+            hidden = audio[:, :, None].astype(self.dtype)  # [B, T, 1]
         for layer_id, (out_dim, kernel, stride) in enumerate(
             zip(arch.conv_dim, arch.conv_kernel, arch.conv_stride)
         ):
+            if layer_id == 0 and first_fused:
+                continue
             if arch.feat_extract_norm == "layer":
                 use_bias = arch.conv_bias
             else:
@@ -179,7 +241,9 @@ class SelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, deterministic: bool = True):
+    def __call__(self, hidden, pad_mask, deterministic: bool = True):
+        from allophant_tpu.ops.attention import multi_head_attention
+
         arch = self.architecture
         heads = arch.num_attention_heads
         head_dim = arch.hidden_size // heads
@@ -190,16 +254,16 @@ class SelfAttention(nn.Module):
                 batch, time, heads, head_dim
             )
 
-        query = project("q_proj") * head_dim**-0.5
-        key = project("k_proj")
-        value = project("v_proj")
-
-        logits = jnp.einsum("bthd,bshd->bhts", query, key)
-        if attention_bias is not None:
-            logits = logits + attention_bias
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        weights = nn.Dropout(arch.attention_dropout)(weights, deterministic=deterministic)
-        context = jnp.einsum("bhts,bshd->bthd", weights, value).reshape(batch, time, arch.hidden_size)
+        context = multi_head_attention(
+            project("q_proj"),
+            project("k_proj"),
+            project("v_proj"),
+            pad_mask,
+            sm_scale=head_dim**-0.5,
+            dropout_module=nn.Dropout(arch.attention_dropout),
+            deterministic=deterministic,
+            dropout_rate=arch.attention_dropout,
+        ).reshape(batch, time, arch.hidden_size)
         return nn.Dense(arch.hidden_size, dtype=self.dtype, name="out_proj")(context)
 
 
@@ -224,7 +288,10 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, attention_bias, deterministic: bool = True):
+    def __call__(self, hidden, pad_mask, deterministic: bool = True):
+        return self._forward(hidden, pad_mask, deterministic)
+
+    def _forward(self, hidden, pad_mask, deterministic: bool = True):
         arch = self.architecture
         stable = arch.do_stable_layer_norm
 
@@ -235,7 +302,7 @@ class EncoderLayer(nn.Module):
             else hidden
         )
         attention_output = SelfAttention(arch, self.dtype, name="attention")(
-            attention_input, attention_bias, deterministic
+            attention_input, pad_mask, deterministic
         )
         attention_output = nn.Dropout(arch.hidden_dropout)(attention_output, deterministic=deterministic)
         hidden = residual + attention_output
@@ -253,10 +320,24 @@ class EncoderLayer(nn.Module):
         return hidden
 
 
+class _ScanEncoderLayer(EncoderLayer):
+    """EncoderLayer with a scan-compatible (carry, y) contract."""
+
+    @nn.compact
+    def __call__(self, hidden, pad_mask, deterministic: bool = True):
+        hidden = self._forward(hidden, pad_mask, deterministic)
+        return hidden, hidden
+
+
 class Wav2Vec2Encoder(nn.Module):
     """Encoder stack collecting every layer's input plus the final (normed) output —
     the ``output_hidden_states`` contract the reference consumes for its intermediate
-    classifier taps."""
+    classifier taps.
+
+    Layers run under ``nn.scan`` with stacked parameters ([L, ...] leaves under
+    ``layers``): one compiled layer body instead of L inlined copies, which keeps
+    XLA/Mosaic compile times flat in depth (the 24-layer unrolled flash-attention
+    program was too large for the TPU compiler service)."""
 
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
@@ -267,22 +348,25 @@ class Wav2Vec2Encoder(nn.Module):
         if pad_mask is not None:
             # Zero padded positions so the positional conv sees silence there.
             hidden = hidden * pad_mask[:, :, None].astype(hidden.dtype)
-            attention_bias = (~pad_mask)[:, None, None, :].astype(jnp.float32) * _MASK_BIAS
-        else:
-            attention_bias = None
 
         position_embeddings = PositionalConvEmbedding(arch, self.dtype, name="pos_conv_embed")(hidden)
         hidden = hidden + position_embeddings
         if not arch.do_stable_layer_norm:
             hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
         hidden = nn.Dropout(arch.hidden_dropout)(hidden, deterministic=deterministic)
+        embedded = hidden
 
-        hidden_states = [hidden]
-        for layer_id in range(arch.num_hidden_layers):
-            hidden = EncoderLayer(arch, self.dtype, name=f"layers_{layer_id}")(
-                hidden, attention_bias, deterministic
-            )
-            hidden_states.append(hidden)
+        scan_layers = nn.scan(
+            _ScanEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=arch.num_hidden_layers,
+        )
+        hidden, stacked = scan_layers(arch, self.dtype, name="layers")(
+            hidden, pad_mask, deterministic
+        )
+        hidden_states = [embedded] + [stacked[index] for index in range(arch.num_hidden_layers)]
         if arch.do_stable_layer_norm:
             hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
             hidden_states[-1] = hidden

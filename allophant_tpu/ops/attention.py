@@ -1,0 +1,110 @@
+"""Fused multi-head attention dispatch.
+
+The reference computes attention through torch ``nn.MultiheadAttention`` /
+HF Wav2Vec2 attention, materializing the [B, H, T, T] score tensor. On TPU that
+tensor dominates encoder HBM traffic (~1 GB f32 per layer at batch 64 x 500
+frames), so inference routes through the Pallas TPU flash-attention kernel shipped
+with JAX (tiled online softmax, scores never leave VMEM). Padding is expressed as
+segment ids: valid frames are segment 1, padding segment 2, so valid queries never
+attend to padding. The einsum path remains for CPU tests and for training with
+attention dropout (the flash kernel has no weight-dropout support)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.cache
+def _flash_available() -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    try:
+        from jax.experimental.pallas.ops.tpu import flash_attention  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pad_to_block(time: int) -> int:
+    for block in (512, 256, 128):
+        if time % block == 0:
+            return 0
+    return ((time + 127) // 128) * 128 - time
+
+
+def fused_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    pad_mask,
+    sm_scale: float,
+) -> jnp.ndarray:
+    """Attention over [B, T, H, D] inputs with a [B, T] validity mask (True =
+    valid); returns [B, T, H, D]. Uses the TPU flash kernel when available."""
+    batch, time, heads, head_dim = query.shape
+    if not _flash_available():
+        return reference_attention(query, key, value, pad_mask, sm_scale)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds, flash_attention
+
+    pad = _pad_to_block(time)
+    q = jnp.transpose(query, (0, 2, 1, 3))
+    k = jnp.transpose(key, (0, 2, 1, 3))
+    v = jnp.transpose(value, (0, 2, 1, 3))
+    if pad_mask is None:
+        segments = jnp.ones((batch, time), jnp.int32)
+    else:
+        segments = jnp.where(pad_mask, 1, 2).astype(jnp.int32)
+    if pad:
+        widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+        segments = jnp.pad(segments, ((0, 0), (0, pad)), constant_values=2)
+
+    out = flash_attention(q, k, v, segment_ids=SegmentIds(segments, segments), sm_scale=sm_scale)
+    if pad:
+        out = out[:, :, :time]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def reference_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    pad_mask,
+    sm_scale: float,
+    dropout_module=None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Plain einsum attention (f32 softmax) with optional weight dropout."""
+    logits = jnp.einsum("bthd,bshd->bhts", query * sm_scale, key)
+    if pad_mask is not None:
+        logits = jnp.where(pad_mask[:, None, None, :], logits, -1e9)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(query.dtype)
+    if dropout_module is not None:
+        weights = dropout_module(weights, deterministic=deterministic)
+    return jnp.einsum("bhts,bshd->bthd", weights, value)
+
+
+def multi_head_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    pad_mask,
+    sm_scale: float,
+    dropout_module=None,
+    deterministic: bool = True,
+    dropout_rate: float = 0.0,
+) -> jnp.ndarray:
+    """Dispatch: flash kernel for deterministic/no-dropout attention on TPU,
+    einsum reference otherwise."""
+    if deterministic or dropout_rate == 0.0 or dropout_module is None:
+        return fused_attention(query, key, value, pad_mask, sm_scale)
+    return reference_attention(
+        query, key, value, pad_mask, sm_scale, dropout_module, deterministic
+    )

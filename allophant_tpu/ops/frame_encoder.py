@@ -1,0 +1,128 @@
+"""Pallas kernel: fused first-layer wav2vec2 frame encoding.
+
+The reference's first feature-extractor conv (kernel 10, stride 5, 1 -> 512
+channels, followed by LayerNorm and exact GELU — HF Wav2Vec2 "layer"-norm mode,
+reference acoustic_model.py:775-835 wrapping transformers' feature extractor) is the
+slowest op on TPU when expressed as a convolution: the contraction dimension is 10,
+so the MXU runs ~8% occupied while the [B, T/5, 512] activation makes three
+round-trips through HBM (conv -> layer norm -> GELU).
+
+This kernel uses a layout-native formulation: the audio is deinterleaved host-side
+(in XLA) into 10 tap streams S[b, k, f] = audio[b, 5 f + k] so every kernel operand
+has frames in the 128-wide lane dimension. Each output tile is accumulated as ten
+rank-1 VPU broadcasts W[:, k] (channels in sublanes) x S[k, :] (frames in lanes),
+then layer norm (channel = sublane reduction) and exact GELU are applied in the same
+VMEM tile — one HBM write for the whole conv+LN+GELU block."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Frames per grid step (lane-dimension extent of one tile). The working set per
+# step is ~[C, TILE] f32 accumulator + double-buffered in/out tiles; 512 keeps it
+# comfortably under the 16 MB VMEM budget.
+_TILE_FRAMES = 512
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf approximation (max abs error
+    1.5e-7 in f32 — below bf16 output resolution). Pallas TPU has no erf
+    primitive, so exact-GELU parity is kept via this polynomial."""
+    sign = jnp.sign(x)
+    x = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-x * x))
+
+
+def _kernel(streams_ref, w_ref, bias_ref, scale_ref, ln_bias_ref, out_ref, *, eps):
+    """One [C, TILE] tile: 10 rank-1 accumulations + layer norm + exact GELU."""
+    acc = bias_ref[:] * jnp.ones((1, streams_ref.shape[2]), jnp.float32)  # [C, TILE]
+    for k in range(10):
+        acc += w_ref[:, k : k + 1] * streams_ref[0, k : k + 1, :]
+    mean = acc.mean(axis=0, keepdims=True)
+    centered = acc - mean
+    variance = (centered * centered).mean(axis=0, keepdims=True)
+    normalized = centered * jax.lax.rsqrt(variance + eps)
+    normalized = normalized * scale_ref[:] + ln_bias_ref[:]
+    gelu = 0.5 * normalized * (1.0 + _erf(normalized * (2.0**-0.5)))
+    out_ref[0] = gelu.astype(out_ref.dtype)
+
+
+@functools.cache
+def _use_interpret() -> bool:
+    """Pallas TPU kernels need the interpreter on CPU (tests, virtual meshes)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype", "channels_first"))
+def fused_frame_conv(
+    audio: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    eps: float = 1e-5,
+    out_dtype=jnp.bfloat16,
+    channels_first: bool = False,
+):
+    """Fused conv(k=10, s=5, 1->C) + LayerNorm + exact GELU over raw audio.
+
+    ``audio``: [B, T] float32; ``kernel``: [10, 1, C] (flax Conv layout) or
+    [10, C]. Returns [B, T//5 - 1, C] (VALID padding, matching
+    ``nn.Conv(padding="VALID")``), or [B, C, T//5 - 1] with ``channels_first``."""
+    batch, samples = audio.shape
+    if kernel.ndim == 3:
+        kernel = kernel[:, 0, :]
+    channels = kernel.shape[1]
+
+    # VALID conv never reads past the last full stride-5 window; drop the tail.
+    if samples % 5:
+        samples -= samples % 5
+        audio = audio[:, :samples]
+    num_groups = samples // 5
+    num_frames = num_groups - 1
+    padded_frames = ((num_frames + _TILE_FRAMES - 1) // _TILE_FRAMES) * _TILE_FRAMES
+    grid_t = padded_frames // _TILE_FRAMES
+
+    # Tap streams: S[b, k, f] = audio[b, 5 f + k]; rows 5..9 are the stride-ahead
+    # taps (group f + 1). Frames land in the lane dimension everywhere.
+    groups = audio.reshape(batch, num_groups, 5)
+    pad = padded_frames - num_frames
+    base = jnp.pad(groups[:, :-1], ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+    ahead = jnp.pad(groups[:, 1:], ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+    streams = jnp.concatenate((base, ahead), axis=1)  # [B, 10, P]
+
+    w_t = kernel.T.astype(jnp.float32)  # [C, 10], channels in sublanes
+    bias_col = bias.astype(jnp.float32)[:, None]
+    scale_col = ln_scale.astype(jnp.float32)[:, None]
+    ln_bias_col = ln_bias.astype(jnp.float32)[:, None]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((batch, channels, padded_frames), out_dtype),
+        grid=(batch, grid_t),
+        in_specs=[
+            pl.BlockSpec((1, 10, _TILE_FRAMES), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 10), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, channels, _TILE_FRAMES), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+        ),
+        interpret=_use_interpret(),
+    )(streams, w_t, bias_col, scale_col, ln_bias_col)
+    out = out[:, :, :num_frames]
+    if channels_first:
+        return out
+    return out.transpose(0, 2, 1)

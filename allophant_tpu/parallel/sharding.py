@@ -19,19 +19,28 @@ _COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "intermediate_dense", "linear1
 _ROW_PARALLEL = ("out_proj", "output_dense", "linear2")
 
 
-def param_spec(path: Tuple[str, ...]) -> PartitionSpec:
-    """PartitionSpec for a parameter at `path` (tuple of tree keys)."""
+def param_spec(path: Tuple[str, ...], ndim: int | None = None) -> PartitionSpec:
+    """PartitionSpec for a parameter at `path` (tuple of tree keys).
+
+    ``ndim`` (when given) left-pads the spec with replicated axes so stacked
+    nn.scan parameters ([L, ...] leaves) shard their trailing matmul dims."""
+
+    def pad(spec: Tuple) -> PartitionSpec:
+        if ndim is None or ndim <= len(spec):
+            return PartitionSpec(*spec)
+        return PartitionSpec(*((None,) * (ndim - len(spec)) + spec))
+
     if len(path) < 2:
         return PartitionSpec()
     parent = path[-2]
     leaf = path[-1]
     if parent in _COLUMN_PARALLEL:
         if leaf == "kernel":
-            return PartitionSpec(None, MODEL_AXIS)
+            return pad((None, MODEL_AXIS))
         if leaf == "bias":
-            return PartitionSpec(MODEL_AXIS)
+            return pad((MODEL_AXIS,))
     if parent in _ROW_PARALLEL and leaf == "kernel":
-        return PartitionSpec(MODEL_AXIS, None)
+        return pad((MODEL_AXIS, None))
     return PartitionSpec()
 
 
@@ -44,7 +53,7 @@ def tree_param_shardings(tree, mesh: Mesh):
 
     def assign(path, value):
         names = tuple(_key_name(key) for key in path)
-        return NamedSharding(mesh, param_spec(names))
+        return NamedSharding(mesh, param_spec(names, getattr(value, "ndim", None)))
 
     return jax.tree_util.tree_map_with_path(assign, tree)
 
