@@ -269,7 +269,7 @@ def predict(arguments: Namespace) -> None:
     batch_size = arguments.batch_size
     if batch_size is None:
         batch_size = max(config.nn.batch_size // max(config.nn.accumulation_factor, 1), 1)
-    batcher = Batcher(batch_size, batching_mode)
+    batcher = Batcher(batch_size, batching_mode, data_workers=arguments.data_workers)
 
     mode = TrainingLanguageMode(arguments.training_languages)
     corpus_languages = config.data.languages if mode == TrainingLanguageMode.ONLY else None

@@ -142,6 +142,7 @@ class CommonVoiceCorpusMeta:
     limits: Union[Dict[str, int], int, None] = None
     utterance_counts: Dict[str, int] = field(default_factory=dict)
     package_version: str = allophant_tpu.__version__
+    audio_format: str = "mp3"  # CV releases ship mp3; converted corpora may use wav
 
     def to_json(self) -> Dict[str, Any]:
         return {
@@ -151,6 +152,7 @@ class CommonVoiceCorpusMeta:
             "limits": self.limits,
             "utterance_counts": self.utterance_counts,
             "package_version": self.package_version,
+            "audio_format": self.audio_format,
         }
 
     @classmethod
@@ -162,6 +164,7 @@ class CommonVoiceCorpusMeta:
             data.get("limits"),
             dict(data.get("utterance_counts", {})),
             data.get("package_version", "unknown"),
+            data.get("audio_format", "mp3"),
         )
 
 
@@ -185,7 +188,10 @@ class CommonVoiceCorpus(MultilingualCorpus):
         limits: Dict[str, int] | int | None = None,
         data_directory: Optional[str] = None,
     ) -> None:
-        super().__init__(base_directory, languages, self._AUDIO_DIRECTORY, "mp3", limits, resample, phoneme_sources)
+        super().__init__(
+            base_directory, languages, self._AUDIO_DIRECTORY, meta_data.audio_format, limits,
+            resample, phoneme_sources,
+        )
         meta_data.utterance_counts = {
             subset.info.code: len(subset.transcribed_samples) for subset in self
         }
@@ -375,6 +381,7 @@ class CommonVoiceCorpus(MultilingualCorpus):
                 (limits or meta.limits),
                 meta.utterance_counts,
                 meta.package_version,
+                meta.audio_format,
             ),
             resample,
             meta.phoneme_sources,

@@ -10,6 +10,7 @@ configuration the reference uses (lexicon-free, ``log_add=True``, sil == blank).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, List, NamedTuple
 
@@ -175,4 +176,220 @@ class BeamCTCDecoder:
         for row in range(batch):
             length = int(lengths[row]) if lengths is not None else log_emissions.shape[1]
             outputs.append(self._decode_single(log_emissions[row, :length]))
+        return outputs
+
+
+# ---------------------------------------------------------------------------
+# Vectorized device beam search
+# ---------------------------------------------------------------------------
+
+_NEG_INF = -1e30
+# Two independent 32-bit rolling-hash multipliers identify prefixes for merging
+# (a single 32-bit hash collides too often over 500-step searches).
+_HASH_P1 = np.int32(1_000_003)
+_HASH_P2 = np.int32(31_337)
+
+
+def _segmented_logaddexp_scan(seg_start, values):
+    """Inclusive segmented log-add-exp scan along the last axis: positions in the
+    same run (between ``seg_start`` flags) accumulate; run-end positions hold the
+    full segment reduction."""
+
+    def combine(a, b):
+        a_flag, a_value = a
+        b_flag, b_value = b
+        return a_flag | b_flag, jnp.where(b_flag, b_value, jnp.logaddexp(a_value, b_value))
+
+    _, scanned = jax.lax.associative_scan((lambda a, b: combine(a, b)), (seg_start, values), axis=-1)
+    return scanned
+
+
+@functools.partial(jax.jit, static_argnames=("beam_width", "blank_index"))
+def beam_search_padded(
+    log_emissions: jnp.ndarray,
+    lengths: jnp.ndarray,
+    beam_width: int = 4,
+    blank_index: int = 0,
+):
+    """Batched lexicon-free CTC prefix beam search with log-add merging, fully on
+    device as a ``lax.scan`` over time (the reference decodes through flashlight's
+    C++ beam search one utterance at a time, predictions.py:210-226; the design
+    here follows batched GPU CTC decoders: per-step candidate expansion, hash-based
+    prefix merging via sort + segmented reduction, top-k pruning).
+
+    ``log_emissions``: [B, T, C] log probabilities; returns
+    (parents [T, B, K], emitted [T, B, K], scores [B, K]) where ``emitted`` is the
+    token added at each step per beam (-1 = none) and ``parents`` chains beams
+    backwards for host-side backtracing (prefix reconstruction is O(T) host work on
+    int32 arrays; all scoring runs on device)."""
+    batch, time, classes = log_emissions.shape
+    k_beams = beam_width
+    num_candidates = k_beams * classes
+
+    class_ids = jnp.arange(classes, dtype=jnp.int32)
+
+    def init_state():
+        hash1 = jnp.ones((batch, k_beams), jnp.int32)
+        hash2 = jnp.ones((batch, k_beams), jnp.int32)
+        last = jnp.full((batch, k_beams), -1, jnp.int32)
+        logp_b = jnp.full((batch, k_beams), _NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        logp_nb = jnp.full((batch, k_beams), _NEG_INF, jnp.float32)
+        return hash1, hash2, last, logp_b, logp_nb
+
+    def step(state, inputs):
+        hash1, hash2, last, logp_b, logp_nb = state
+        emissions, step_index = inputs  # [B, C], scalar
+        total = jnp.logaddexp(logp_b, logp_nb)  # [B, K]
+
+        blank_emission = emissions[:, blank_index][:, None]  # [B, 1]
+        # Emission of each beam's last token (for the repeat-without-growing case).
+        last_emission = jnp.take_along_axis(
+            emissions, jnp.maximum(last, 0).reshape(batch, k_beams), axis=1
+        )
+        last_emission = jnp.where(last >= 0, last_emission, _NEG_INF)
+
+        # Candidate grid [B, K, C]; the blank column holds the "stay" candidate
+        # (same prefix), every other column extends the prefix with that token.
+        is_repeat = class_ids[None, None, :] == last[:, :, None]  # [B, K, C]
+        ext_source = jnp.where(is_repeat, logp_b[:, :, None], total[:, :, None])
+        cand_nb = ext_source + emissions[:, None, :]
+        cand_b = jnp.full((batch, k_beams, classes), _NEG_INF)
+        # Stay candidate in the blank column.
+        stay_b = total + blank_emission
+        stay_nb = logp_nb + last_emission
+        cand_b = cand_b.at[:, :, blank_index].set(stay_b)
+        cand_nb = cand_nb.at[:, :, blank_index].set(stay_nb)
+
+        cand_hash1 = hash1[:, :, None] * _HASH_P1 + (class_ids[None, None, :] + 1)
+        cand_hash2 = hash2[:, :, None] * _HASH_P2 + (class_ids[None, None, :] + 1)
+        cand_hash1 = jnp.where(is_repeat | False, cand_hash1, cand_hash1)
+        stay_mask = class_ids[None, None, :] == blank_index
+        cand_hash1 = jnp.where(stay_mask, hash1[:, :, None], cand_hash1)
+        cand_hash2 = jnp.where(stay_mask, hash2[:, :, None], cand_hash2)
+
+        cand_total = jnp.logaddexp(cand_b, cand_nb)
+        # Dead candidates get unique hashes so they never merge with live ones.
+        flat_iota = jnp.arange(num_candidates, dtype=jnp.int32)[None, :]
+        dead = cand_total.reshape(batch, -1) <= _NEG_INF / 2
+        flat_hash1 = jnp.where(dead, -2 - flat_iota, cand_hash1.reshape(batch, -1))
+        flat_hash2 = jnp.where(dead, -2 - flat_iota, cand_hash2.reshape(batch, -1))
+        flat_b = cand_b.reshape(batch, -1)
+        flat_nb = cand_nb.reshape(batch, -1)
+
+        # Lexicographic sort by (hash1, hash2): two stable argsorts.
+        order2 = jnp.argsort(flat_hash2, axis=-1, stable=True)
+        h1_by2 = jnp.take_along_axis(flat_hash1, order2, axis=-1)
+        order1 = jnp.argsort(h1_by2, axis=-1, stable=True)
+        order = jnp.take_along_axis(order2, order1, axis=-1)
+
+        sorted_h1 = jnp.take_along_axis(flat_hash1, order, axis=-1)
+        sorted_h2 = jnp.take_along_axis(flat_hash2, order, axis=-1)
+        sorted_b = jnp.take_along_axis(flat_b, order, axis=-1)
+        sorted_nb = jnp.take_along_axis(flat_nb, order, axis=-1)
+
+        previous_h1 = jnp.concatenate((sorted_h1[:, :1] - 1, sorted_h1[:, :-1]), axis=-1)
+        previous_h2 = jnp.concatenate((sorted_h2[:, :1] - 1, sorted_h2[:, :-1]), axis=-1)
+        seg_start = (sorted_h1 != previous_h1) | (sorted_h2 != previous_h2)
+
+        merged_b = _segmented_logaddexp_scan(seg_start, sorted_b)
+        merged_nb = _segmented_logaddexp_scan(seg_start, sorted_nb)
+
+        next_h1 = jnp.concatenate((sorted_h1[:, 1:], sorted_h1[:, :1] - 1), axis=-1)
+        next_h2 = jnp.concatenate((sorted_h2[:, 1:], sorted_h2[:, :1] - 1), axis=-1)
+        run_end = (sorted_h1 != next_h1) | (sorted_h2 != next_h2)
+
+        merged_total = jnp.logaddexp(merged_b, merged_nb)
+        merged_total = jnp.where(run_end, merged_total, _NEG_INF)
+
+        top_total, top_positions = jax.lax.top_k(merged_total, k_beams)  # [B, K]
+        chosen = jnp.take_along_axis(order, top_positions, axis=-1)  # candidate ids
+        parent = (chosen // classes).astype(jnp.int32)
+        token = (chosen % classes).astype(jnp.int32)
+        is_stay = token == blank_index
+
+        new_hash1 = jnp.take_along_axis(
+            flat_hash1, chosen, axis=-1
+        )
+        new_hash2 = jnp.take_along_axis(flat_hash2, chosen, axis=-1)
+        new_last = jnp.where(is_stay, jnp.take_along_axis(last, parent, axis=-1), token)
+        new_b = jnp.take_along_axis(merged_b, top_positions, axis=-1)
+        new_nb = jnp.take_along_axis(merged_nb, top_positions, axis=-1)
+        new_b = jnp.where(top_total <= _NEG_INF / 2, _NEG_INF, new_b)
+        new_nb = jnp.where(top_total <= _NEG_INF / 2, _NEG_INF, new_nb)
+
+        # Freeze state past each utterance's length.
+        active = (step_index < lengths)[:, None]  # [B, 1]
+        identity = jnp.broadcast_to(jnp.arange(k_beams, dtype=jnp.int32)[None, :], (batch, k_beams))
+        out_parent = jnp.where(active, parent, identity)
+        out_token = jnp.where(active & ~is_stay, token, -1)
+
+        new_state = (
+            jnp.where(active, new_hash1, hash1),
+            jnp.where(active, new_hash2, hash2),
+            jnp.where(active, new_last, last),
+            jnp.where(active, new_b, logp_b),
+            jnp.where(active, new_nb, logp_nb),
+        )
+        return new_state, (out_parent, out_token)
+
+    emissions_seq = jnp.transpose(log_emissions.astype(jnp.float32), (1, 0, 2))
+    steps = jnp.arange(time, dtype=jnp.int32)
+    final_state, (parents, emitted) = jax.lax.scan(step, init_state(), (emissions_seq, steps))
+    _h1, _h2, _last, logp_b, logp_nb = final_state
+    scores = jnp.logaddexp(logp_b, logp_nb)
+    return parents, emitted, scores
+
+
+class DeviceBeamCTCDecoder:
+    """Flash-style batched beam decoder: scoring on device, O(T) backtrace on host.
+
+    Drop-in alternative to :class:`BeamCTCDecoder` with the same flashlight-style
+    call contract (batch-first log emissions + lengths -> n-best hypothesis lists)."""
+
+    def __init__(self, tokens: List[str], beam_width: int, n_best: int = 1, blank_index: int = 0):
+        self._tokens = tokens
+        self._beam_width = beam_width
+        self._n_best = min(n_best, beam_width)
+        self._blank_index = blank_index
+
+    def __call__(self, log_emissions, lengths=None) -> List[List[CTCHypothesis]]:
+        log_emissions = jnp.asarray(log_emissions)
+        batch, time, _classes = log_emissions.shape
+        if lengths is None:
+            lengths_array = jnp.full((batch,), time, jnp.int32)
+        else:
+            lengths_array = jnp.asarray(lengths, jnp.int32)
+        parents, emitted, scores = beam_search_padded(
+            log_emissions, lengths_array, self._beam_width, self._blank_index
+        )
+        parents = np.asarray(parents)
+        emitted = np.asarray(emitted)
+        scores = np.asarray(scores)
+        lengths_host = np.asarray(lengths_array)
+
+        outputs: List[List[CTCHypothesis]] = []
+        for row in range(batch):
+            order = np.argsort(scores[row])[::-1][: self._n_best]
+            hypotheses = []
+            for beam in order:
+                sequence: List[int] = []
+                timesteps: List[int] = []
+                cursor = int(beam)
+                for t in range(int(lengths_host[row]) - 1, -1, -1):
+                    token = int(emitted[t, row, cursor])
+                    if token >= 0:
+                        sequence.append(token)
+                        timesteps.append(t + 1)
+                    cursor = int(parents[t, row, cursor])
+                sequence.reverse()
+                timesteps.reverse()
+                hypotheses.append(
+                    CTCHypothesis(
+                        np.asarray(sequence, dtype=np.int64),
+                        [],
+                        float(scores[row, beam]),
+                        np.asarray(timesteps, dtype=np.int64),
+                    )
+                )
+            outputs.append(hypotheses)
         return outputs

@@ -15,7 +15,12 @@ from typing import Any, Dict, Iterable, Iterator, List, Optional, Tuple
 import numpy as np
 
 import allophant_tpu
-from allophant_tpu.ops.decode import BeamCTCDecoder, CTCHypothesis, GreedyCTCDecoder
+from allophant_tpu.ops.decode import (
+    BeamCTCDecoder,
+    CTCHypothesis,
+    DeviceBeamCTCDecoder,
+    GreedyCTCDecoder,
+)
 from allophant_tpu.phonemes import Action
 from allophant_tpu import phonemes
 from allophant_tpu.phonetics.features import (
@@ -224,7 +229,9 @@ def _ctc_decoder(categories: Iterable[str], beam_width: int = 1, n_best: int = 1
     assert n_best <= beam_width, "N-best can not exceed beam width"
     if beam_width == 1:
         return GreedyCTCDecoder()
-    return BeamCTCDecoder(["<blank>", *categories], beam_width, n_best)
+    # Batched device beam search (scoring under jit, host backtrace); the pure-host
+    # BeamCTCDecoder remains as a reference implementation.
+    return DeviceBeamCTCDecoder(["<blank>", *categories], beam_width, n_best)
 
 
 class FeatureDecoder:

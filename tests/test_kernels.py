@@ -1,0 +1,120 @@
+"""Unit tests for the Pallas/fused op layer (run via the interpreter on CPU) and
+small utilities."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from allophant_tpu.ops.attention import fused_attention, reference_attention
+from allophant_tpu.ops.frame_encoder import fused_frame_conv
+from allophant_tpu.utils import EnumAction, OnlineMean, get_worker_count
+
+
+class TestFusedFrameConv:
+    @pytest.mark.parametrize("samples", [16000, 16003, 3200])
+    def test_parity_with_flax_conv(self, samples):
+        rng = np.random.default_rng(0)
+        channels = 512
+        audio = rng.standard_normal((2, samples)).astype(np.float32)
+        kernel = (rng.standard_normal((10, 1, channels)) * 0.1).astype(np.float32)
+        bias = (rng.standard_normal(channels) * 0.1).astype(np.float32)
+        scale = (1 + rng.standard_normal(channels) * 0.1).astype(np.float32)
+        ln_bias = (rng.standard_normal(channels) * 0.1).astype(np.float32)
+
+        conv = nn.Conv(channels, (10,), (5,), padding="VALID", use_bias=True, dtype=jnp.bfloat16)
+        reference = conv.apply(
+            {"params": {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}},
+            jnp.asarray(audio)[:, :, None].astype(jnp.bfloat16),
+        )
+        reference = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16).apply(
+            {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(ln_bias)}}, reference
+        )
+        reference = np.asarray(nn.gelu(reference, approximate=False), dtype=np.float32)
+
+        fused = np.asarray(
+            fused_frame_conv(
+                jnp.asarray(audio),
+                jnp.asarray(kernel),
+                jnp.asarray(bias),
+                jnp.asarray(scale),
+                jnp.asarray(ln_bias),
+            ),
+            dtype=np.float32,
+        )
+        assert fused.shape == reference.shape
+        # Both paths are bf16; differences are accumulation-order rounding.
+        np.testing.assert_allclose(fused, reference, atol=0.05, rtol=0.05)
+
+    def test_channels_first_layout(self):
+        rng = np.random.default_rng(1)
+        audio = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+        kernel = jnp.asarray(rng.standard_normal((10, 1, 512)).astype(np.float32))
+        vec = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+        out = fused_frame_conv(audio, kernel, vec, vec, vec, channels_first=True)
+        assert out.shape == (1, 512, 3200 // 5 - 1)
+
+
+class TestAttention:
+    def test_reference_matches_manual(self):
+        rng = np.random.default_rng(0)
+        batch, time, heads, dim = 2, 16, 4, 8
+        q = jnp.asarray(rng.standard_normal((batch, time, heads, dim)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((batch, time, heads, dim)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((batch, time, heads, dim)).astype(np.float32))
+        mask = np.ones((batch, time), bool)
+        mask[1, 10:] = False
+
+        out = np.asarray(reference_attention(q, k, v, jnp.asarray(mask), dim**-0.5))
+
+        # Manual per-head computation.
+        qn, kn, vn = (np.asarray(x) for x in (q, k, v))
+        for b in range(batch):
+            for h in range(heads):
+                logits = (qn[b, :, h] * dim**-0.5) @ kn[b, :, h].T
+                logits[:, ~mask[b]] = -1e9
+                weights = np.exp(logits - logits.max(-1, keepdims=True))
+                weights /= weights.sum(-1, keepdims=True)
+                expected = weights @ vn[b, :, h]
+                np.testing.assert_allclose(out[b, :, h], expected, atol=1e-4)
+
+    def test_fused_falls_back_on_cpu(self):
+        # On CPU the flash kernel is unavailable; fused must equal reference.
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((1, 8, 2, 4)).astype(np.float32))
+        mask = jnp.asarray(np.ones((1, 8), bool))
+        out = fused_attention(q, q, q, mask, 0.5)
+        expected = reference_attention(q, q, q, mask, 0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+
+
+class TestUtils:
+    def test_online_mean(self):
+        mean = OnlineMean()
+        mean.add(1.0).add(2.0).add(3.0)
+        assert mean.mean == pytest.approx(2.0)
+        assert mean.count == 3
+        mean.add(10.0, count=2)  # two observations with mean 10
+        assert mean.mean == pytest.approx((1 + 2 + 3 + 20) / 5)
+
+    def test_get_worker_count(self):
+        assert get_worker_count(0) == 0
+        assert get_worker_count(4) == 4
+        assert get_worker_count() >= 1
+        with pytest.raises(ValueError):
+            get_worker_count(-1)
+
+    def test_enum_action(self):
+        from argparse import ArgumentParser
+        from enum import Enum
+
+        class Mode(Enum):
+            A = "a"
+            B = "b"
+
+        parser = ArgumentParser()
+        parser.add_argument("--mode", action=EnumAction, type=Mode, default=Mode.A)
+        assert parser.parse_args([]).mode == "a"
+        assert parser.parse_args(["--mode", "b"]).mode == Mode.B

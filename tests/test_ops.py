@@ -146,3 +146,43 @@ class TestBeamDecoder:
         assert len(hypotheses) == 3
         scores = [hypothesis.score for hypothesis in hypotheses]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestDeviceBeamDecoder:
+    def test_matches_host_beam_search(self):
+        import jax
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        rng = np.random.default_rng(7)
+        batch, time, classes = 4, 24, 8
+        logits = rng.standard_normal((batch, time, classes)).astype(np.float32) * 2
+        log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        lengths = np.array([24, 17, 9, 3])
+
+        host = BeamCTCDecoder([str(i) for i in range(classes)], beam_width=8, n_best=2)
+        device = DeviceBeamCTCDecoder([str(i) for i in range(classes)], beam_width=8, n_best=2)
+        host_out = host(log_probs, lengths)
+        device_out = device(log_probs, lengths)
+        for row in range(batch):
+            np.testing.assert_array_equal(host_out[row][0].tokens, device_out[row][0].tokens)
+            assert host_out[row][0].score == pytest.approx(device_out[row][0].score, abs=1e-3)
+
+    def test_beam_sums_paths_device(self):
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        # Two frames where greedy picks the label but path-summing favors blank
+        # collapse differences (same case as the host test above).
+        log_probs = np.log(np.array([[[0.4, 0.6], [0.6, 0.4]]], dtype=np.float32))
+        decoder = DeviceBeamCTCDecoder(["<blank>", "a"], beam_width=4)
+        result = decoder(log_probs, np.array([2]))[0][0]
+        assert result.tokens.tolist() == [1]
+
+    def test_empty_result(self):
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        # All-blank emissions decode to the empty sequence.
+        log_probs = np.full((1, 5, 3), -10.0, dtype=np.float32)
+        log_probs[:, :, 0] = -0.001
+        decoder = DeviceBeamCTCDecoder(["<blank>", "a", "b"], beam_width=4)
+        result = decoder(log_probs, np.array([5]))[0][0]
+        assert result.tokens.size == 0
