@@ -77,20 +77,28 @@ class Checkpoint:
 NATIVE_MAGIC = b"ALLOPHANT_TPU_CKPT1"
 
 
-def save_native(checkpoint: Checkpoint, file_path: str) -> None:
-    """Writes the native msgpack checkpoint (metadata JSON + flax variable bytes)."""
-    metadata = {
+def _checkpoint_metadata(checkpoint: Checkpoint) -> Dict[str, Any]:
+    return {
         "config": checkpoint.config.dump(),
         "feature_size": checkpoint.feature_size,
         "sample_rate": checkpoint.sample_rate,
         "attribute_graph": checkpoint.attribute_graph.to_dict(),
         "epoch": checkpoint.epoch.to_dict(),
-        "phonetic_indexer_state": checkpoint.phonetic_indexer_state.to_dict(),
+        "phonetic_indexer_state": (
+            None
+            if checkpoint.phonetic_indexer_state is None
+            else checkpoint.phonetic_indexer_state.to_dict()
+        ),
         "history": checkpoint.history,
         "dataset_meta_data": checkpoint.dataset_meta_data,
         "additional": checkpoint.additional,
         "version": checkpoint.version,
     }
+
+
+def save_native(checkpoint: Checkpoint, file_path: str) -> None:
+    """Writes the native msgpack checkpoint (metadata JSON + flax variable bytes)."""
+    metadata = _checkpoint_metadata(checkpoint)
     payload = {
         "magic": NATIVE_MAGIC,
         "metadata": json.dumps(metadata),
@@ -122,7 +130,11 @@ def load_native(file_path: str) -> Checkpoint:
         sample_rate=int(metadata["sample_rate"]),
         attribute_graph=AttributeGraph.from_dict(metadata["attribute_graph"]),
         epoch=EpochPosition.from_dict(metadata.get("epoch")),
-        phonetic_indexer_state=PhoneticIndexerState.from_dict(metadata["phonetic_indexer_state"]),
+        phonetic_indexer_state=(
+            None
+            if metadata.get("phonetic_indexer_state") is None
+            else PhoneticIndexerState.from_dict(metadata["phonetic_indexer_state"])
+        ),
         variables=variables,
         optimizer_state=payload.get("optimizer_state"),
         history=metadata.get("history", []),
@@ -166,9 +178,12 @@ def load_reference_checkpoint(file_path: str) -> Checkpoint:
 
 
 def load_checkpoint(file_path: str) -> Checkpoint:
-    """Dispatches between the native format and reference torch checkpoints. Accepts a
-    local path or a HuggingFace model id (resolving ``allophant.pt`` via the local HF
-    cache — this environment has no network egress)."""
+    """Dispatches between the native msgpack format, orbax directories and reference
+    torch checkpoints. Accepts a local path or a HuggingFace model id (resolving
+    ``allophant.pt`` via the local HF cache — this environment has no network
+    egress)."""
+    if os.path.isdir(file_path) and os.path.isfile(os.path.join(file_path, ORBAX_METADATA_FILE)):
+        return load_orbax(file_path)
     if not os.path.isfile(file_path):
         resolved = _resolve_hub_file(file_path)
         if resolved is None:
@@ -177,6 +192,71 @@ def load_checkpoint(file_path: str) -> Checkpoint:
     if _is_native(file_path):
         return load_native(file_path)
     return load_reference_checkpoint(file_path)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (sharded multi-chip checkpoints)
+# ---------------------------------------------------------------------------
+
+ORBAX_METADATA_FILE = "allophant_meta.json"
+
+
+def save_orbax(checkpoint: Checkpoint, directory: str) -> None:
+    """Writes an orbax checkpoint directory: tensor-store variables (sharding-aware,
+    written in parallel across hosts on multi-chip topologies) plus the same metadata
+    the native format carries. The TPU-native choice for large sharded training
+    state; the single-file msgpack format remains the default for portability."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, ORBAX_METADATA_FILE), "w", encoding="utf-8") as file:
+        json.dump(_checkpoint_metadata(checkpoint), file)
+    if checkpoint.optimizer_state is not None:
+        with open(os.path.join(directory, "optimizer_state.bin"), "wb") as file:
+            file.write(checkpoint.optimizer_state)
+
+    checkpointer = ocp.StandardCheckpointer()
+    variables_path = os.path.join(directory, "variables")
+    if os.path.exists(variables_path):
+        import shutil
+
+        shutil.rmtree(variables_path)
+    checkpointer.save(variables_path, serialization.to_state_dict(checkpoint.variables))
+    checkpointer.wait_until_finished()
+
+
+def load_orbax(directory: str) -> Checkpoint:
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    with open(os.path.join(directory, ORBAX_METADATA_FILE), "r", encoding="utf-8") as file:
+        metadata = json.load(file)
+    checkpointer = ocp.StandardCheckpointer()
+    variables = checkpointer.restore(os.path.join(directory, "variables"))
+    optimizer_state = None
+    optimizer_path = os.path.join(directory, "optimizer_state.bin")
+    if os.path.isfile(optimizer_path):
+        with open(optimizer_path, "rb") as file:
+            optimizer_state = file.read()
+    return Checkpoint(
+        config=Config.load(metadata["config"]),
+        feature_size=int(metadata["feature_size"]),
+        sample_rate=int(metadata["sample_rate"]),
+        attribute_graph=AttributeGraph.from_dict(metadata["attribute_graph"]),
+        epoch=EpochPosition.from_dict(metadata.get("epoch")),
+        phonetic_indexer_state=(
+            None
+            if metadata.get("phonetic_indexer_state") is None
+            else PhoneticIndexerState.from_dict(metadata["phonetic_indexer_state"])
+        ),
+        variables=variables,
+        optimizer_state=optimizer_state,
+        history=metadata.get("history", []),
+        dataset_meta_data=metadata.get("dataset_meta_data", []),
+        additional=metadata.get("additional"),
+        version=metadata.get("version", "unknown"),
+    )
 
 
 def _resolve_hub_file(model_id: str) -> Optional[str]:

@@ -116,6 +116,25 @@ class Estimator:
 
     def __post_init__(self):
         self._predict_cache: Dict[Any, Any] = {}
+        self._mesh = None
+
+    # ------------------------------------------------------------------
+    # Multi-chip inference
+    # ------------------------------------------------------------------
+
+    def use_data_parallel(self, mesh=None) -> "Estimator":
+        """Shards prediction batches over the ``data`` axis of a device mesh
+        (defaults to a 1-D mesh over all local devices). Parameters are replicated;
+        XLA partitions the whole forward pass. Batch sizes must divide the data-axis
+        size — the bucketed batcher's power-of-two padding guarantees this for
+        device counts that are powers of two."""
+        if mesh is None:
+            from allophant_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(jax.devices(), model_parallel=1)
+        self._mesh = mesh
+        self._predict_cache.clear()
+        return self
 
     @property
     def model(self):
@@ -174,8 +193,7 @@ class Estimator:
 
         model = self.model
 
-        @jax.jit
-        def run(variables, audio, lengths, language_ids, target_feature_indices=None):
+        def run_impl(variables, audio, lengths, language_ids, target_feature_indices=None):
             predictions = model.apply(
                 variables, audio, lengths, language_ids, target_feature_indices, predict=True
             )
@@ -185,6 +203,21 @@ class Estimator:
             # Time-first layout for reference API parity.
             outputs = {name: jnp.transpose(value, (1, 0, 2)) for name, value in outputs.items()}
             return Predictions(outputs, predictions.lengths)
+
+        if self._mesh is None:
+            run = jax.jit(run_impl)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from allophant_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = self._mesh
+            replicated = NamedSharding(mesh, PartitionSpec())
+            batch_sharded = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            shardings = (replicated, batch_sharded, batch_sharded, batch_sharded)
+            if feature_shape is not None:
+                shardings = shardings + (replicated,)
+            run = jax.jit(run_impl, in_shardings=shardings)
 
         self._predict_cache[key] = run
         return run

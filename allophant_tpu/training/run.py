@@ -145,9 +145,23 @@ class _MeanAccumulator:
 
 # Audio-sample bucket for training shapes: lengths round up to multiples of 2 s at
 # 16 kHz so the jit cache sees ~15 shapes for <=30 s utterances instead of hundreds.
+# Only used when the acoustic model downsamples raw audio (wav2vec2's conv stack);
+# models that consume the input at frame rate bucket by FRAME_LENGTH_MULTIPLE.
 TRAIN_LENGTH_MULTIPLE = 32_000
+FRAME_LENGTH_MULTIPLE = 128
 # Label-length bucket (CTC target axis).
 TRAIN_LABEL_MULTIPLE = 32
+
+
+def default_length_multiple(config: Config) -> int:
+    """Length bucket by acoustic model: second-scale sample buckets for the
+    heavily-downsampling wav2vec2 conv frontend, frame-scale buckets otherwise
+    (the from-scratch transformer attends at input rate)."""
+    from allophant_tpu.config import Wav2Vec2Config, Wav2Vec2PretrainedConfig
+
+    if isinstance(config.nn.acoustic_model, (Wav2Vec2Config, Wav2Vec2PretrainedConfig)):
+        return TRAIN_LENGTH_MULTIPLE
+    return FRAME_LENGTH_MULTIPLE
 
 
 @dataclasses.dataclass
@@ -227,7 +241,7 @@ class DatasetManager:
         validation_features=None,
         train_lengths: Optional[np.ndarray] = None,
         validation_lengths: Optional[np.ndarray] = None,
-        length_multiple: int = TRAIN_LENGTH_MULTIPLE,
+        length_multiple: int | None = None,
         label_multiple: int = TRAIN_LABEL_MULTIPLE,
     ) -> "DatasetManager":
         processor = SamplesProcessor.from_config(config, sample_rate, attribute_indexer)
@@ -253,6 +267,9 @@ class DatasetManager:
             splits.dev.language_id(language): train_phonemes for language in splits.dev.languages
         } or None
         validation_dataset = build(splits.dev, validation_features, dev_inventories)
+
+        if length_multiple is None:
+            length_multiple = default_length_multiple(config)
 
         if train_lengths is None:
             train_lengths = _maybe_lengths(splits.train)

@@ -245,3 +245,44 @@ class TestNativeCheckpoint:
             np.asarray(roundtrip.outputs["phoneme"]),
             atol=1e-6,
         )
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        import numpy as np
+        from allophant_tpu.config import Config
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+        from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+        from allophant_tpu.training import checkpoint as checkpoint_module
+        from allophant_tpu.training.estimator import Estimator
+
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        estimator = Estimator.from_config(
+            config, 1, 16_000, attribute_graph_from_config(config, indexer), indexer,
+            load_pretrained_weights=False,
+        )
+        directory = str(tmp_path / "orbax_ckpt")
+        checkpoint_module.save_orbax(
+            checkpoint_module.Checkpoint(
+                config=config,
+                feature_size=1,
+                sample_rate=16_000,
+                attribute_graph=estimator.attribute_graph,
+                epoch=checkpoint_module.EpochPosition(),
+                phonetic_indexer_state=indexer.state(),
+                variables=estimator.variables,
+                optimizer_state=b"opaque-optimizer-bytes",
+            ),
+            directory,
+        )
+        restored_estimator, restored_indexer = Estimator.restore(directory)
+        import jax
+
+        for original, loaded in zip(
+            jax.tree_util.tree_leaves(estimator.variables["params"]),
+            jax.tree_util.tree_leaves(restored_estimator.variables["params"]),
+        ):
+            np.testing.assert_allclose(np.asarray(original), np.asarray(loaded))
+        loaded_checkpoint = checkpoint_module.load_checkpoint(directory)
+        assert loaded_checkpoint.optimizer_state == b"opaque-optimizer-bytes"

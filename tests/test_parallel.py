@@ -83,3 +83,36 @@ class TestMultichipTrainStep:
         np.testing.assert_allclose(
             np.asarray(single_grads["w"]), np.asarray(sharded_grads["w"]), rtol=2e-5
         )
+
+
+class TestDataParallelInference:
+    def test_predict_sharded_matches_single_device(self):
+        """Estimator.predict over an 8-device data mesh must match unsharded."""
+        import numpy as np
+        from allophant_tpu.config import Config
+        from allophant_tpu.data.batch import Batch
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+        from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+        from allophant_tpu.training.estimator import Estimator
+        from fixtures import mini_allophoible_csv, mini_config_dict
+
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        estimator = Estimator.from_config(
+            config, 1, 16_000, attribute_graph_from_config(config, indexer), indexer,
+            load_pretrained_weights=False,
+        )
+
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal((8, 1600)).astype(np.float32)
+        batch = Batch(audio, np.full(8, 1600, dtype=np.int32), 0)
+
+        single = estimator.predict(batch)
+        estimator.use_data_parallel(create_mesh(jax.devices()[:8], model_parallel=1))
+        sharded = estimator.predict(batch)
+
+        for name in single.outputs:
+            np.testing.assert_allclose(
+                np.asarray(single.outputs[name]), np.asarray(sharded.outputs[name]),
+                atol=1e-5, rtol=1e-5,
+            )
