@@ -156,9 +156,16 @@ def compute_edit_statistics(
     map_phonemes: bool = True,
     fix_unicode: bool = False,
     split_complex: bool = False,
+    scorer: str = "device",
 ) -> Dict[str, Dict[str, EditStatistics]]:
     """Accumulates per-(language, classifier) edit statistics; the best of the n-best
-    candidates (minimum WER) counts (reference run.py:434-466)."""
+    candidates (minimum WER) counts (reference run.py:434-466).
+
+    ``scorer="device"`` batches every (utterance, classifier, candidate) pair into
+    the jit-compiled wavefront DP (`ops/levenshtein.py`) — the reference serializes
+    through one host DP per utterance (its eval hot loop, SURVEY §3.4); the counter
+    tie-break matches the native engine exactly. ``scorer="host"`` keeps the
+    per-utterance C++ path."""
     meta = reader.metadata
     processor = EvaluationProcessor(meta, map_phonemes, fix_unicode, split_complex)
     edit_statistics = {
@@ -166,6 +173,7 @@ def compute_edit_statistics(
         for language in meta.languages
     }
 
+    collected: List[Tuple[str, str, List[str], List[List[str]]]] = []
     for line, prediction in enumerate(reader, 1):
         references = prediction.labels
         if references is None:
@@ -173,23 +181,92 @@ def compute_edit_statistics(
         language = prediction.language
 
         for name, expected, candidates in _process_prediction(prediction, references, processor):
-            lowest_error_rate = math.inf
-            best_statistics = None
-            for actual in _process_candidates(candidates, processor, language, name in IPA_LAYERS):
-                statistics = native.levensthein_statistics(expected, actual)
-                error_rate = statistics.word_error_rate()
-                if error_rate < lowest_error_rate:
-                    lowest_error_rate = error_rate
-                    best_statistics = statistics
-            if best_statistics is None:
+            processed = list(
+                _process_candidates(candidates, processor, language, name in IPA_LAYERS)
+            )
+            if not processed:
                 warnings.warn(
                     f"Each category needs at least one candidate output, got no candidates for"
                     f" {name!r} in line {line} with utterance ID {prediction.utterance_id}"
                 )
                 continue
-            edit_statistics[language][name] += best_statistics
+            if scorer == "host":
+                lowest_error_rate = math.inf
+                best_statistics = None
+                for actual in processed:
+                    statistics = native.levensthein_statistics(expected, actual)
+                    error_rate = statistics.word_error_rate()
+                    if error_rate < lowest_error_rate:
+                        lowest_error_rate = error_rate
+                        best_statistics = statistics
+                edit_statistics[language][name] += best_statistics
+            else:
+                collected.append((language, name, expected, processed))
 
+    if collected:
+        _accumulate_device_statistics(collected, edit_statistics)
     return edit_statistics
+
+
+def _accumulate_device_statistics(
+    collected: List[Tuple[str, str, List[str], List[List[str]]]],
+    edit_statistics: Dict[str, Dict[str, EditStatistics]],
+) -> None:
+    """Scores all (expected, candidate) pairs in one batched device program, selects
+    the min-WER candidate per entry (first on ties, like the host loop) and adds the
+    batched I/D/S/C statistics."""
+    import numpy as np
+
+    from allophant_tpu.ops.levenshtein import (
+        batched_edit_statistics,
+        batched_levenshtein_distances,
+        encode_token_batches,
+    )
+
+    expected_flat: List[List[str]] = []
+    candidate_flat: List[List[str]] = []
+    offsets = [0]
+    for _language, _name, expected, candidates in collected:
+        for candidate in candidates:
+            expected_flat.append(expected)
+            candidate_flat.append(candidate)
+        offsets.append(offsets[-1] + len(candidates))
+
+    a_ids, a_lengths, b_ids, b_lengths = encode_token_batches(expected_flat, candidate_flat)
+    import jax.numpy as jnp
+
+    distances = np.asarray(
+        batched_levenshtein_distances(
+            jnp.asarray(a_ids), jnp.asarray(a_lengths), jnp.asarray(b_ids), jnp.asarray(b_lengths)
+        )
+    )
+    # WER = distance / len(expected); empty references: 0 if exact else +inf,
+    # mirroring (S+D+I)/(S+D+C) with a zero denominator.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rates = np.where(
+            a_lengths > 0,
+            distances / np.maximum(a_lengths, 1),
+            np.where(distances == 0, 0.0, np.inf),
+        )
+
+    best_indices = []
+    for start, end in zip(offsets[:-1], offsets[1:]):
+        best_indices.append(start + int(np.argmin(rates[start:end])))
+    best = np.asarray(best_indices)
+
+    insertions, deletions, substitutions, correct = (
+        np.asarray(values)
+        for values in batched_edit_statistics(
+            jnp.asarray(a_ids[best]),
+            jnp.asarray(a_lengths[best]),
+            jnp.asarray(b_ids[best]),
+            jnp.asarray(b_lengths[best]),
+        )
+    )
+    for row, (language, name, _expected, _candidates) in enumerate(collected):
+        edit_statistics[language][name] += EditStatistics(
+            int(insertions[row]), int(deletions[row]), int(substitutions[row]), int(correct[row])
+        )
 
 
 def summarize_edit_statistics(

@@ -137,3 +137,57 @@ class TestEvaluationFlow:
         assert len(operations) == 1
         assert operations[0][0] == Action.DELETION
         assert operations[0][1] == "n"
+
+
+class TestDeviceScorerParity:
+    def test_device_matches_host_scorer(self, tmp_path):
+        """Full pipeline: device-batched statistics equal the per-utterance host
+        engine on a multi-utterance, multi-candidate prediction file."""
+        import numpy as np
+        from fixtures import mini_allophoible_csv
+        from allophant_tpu.evaluation_runner import compute_edit_statistics
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+        from allophant_tpu.predictions import (
+            JsonlWriter,
+            PredictionMetaData,
+            PredictionReader,
+            UtterancePrediction,
+        )
+
+        indexer = PhoneticAttributeIndexer(FeatureSet.PHOIBLE, mini_allophoible_csv())
+        meta = PredictionMetaData(
+            "test", "ucla-phonetic", ["spa", "ita"], "phoible", indexer.state(),
+            ["phoneme", "nasal"],
+            label_inventories={"spa": ["a", "t", "n"], "ita": ["a", "s", "i"]},
+        )
+        rng = np.random.default_rng(0)
+        pool = ["a", "t", "n", "s", "i", "e", "o"]
+        path = str(tmp_path / "predictions.jsonl")
+        with JsonlWriter(path, meta) as writer:
+            for index in range(12):
+                language = "spa" if index % 2 == 0 else "ita"
+                labels = [list(rng.choice(pool, rng.integers(1, 6)))]
+                candidates = [
+                    list(rng.choice(pool, rng.integers(0, 6))) for _ in range(3)
+                ]
+                nasal = [["-"] * max(len(candidates[0]), 1)]
+                writer.write(
+                    UtterancePrediction(
+                        language, f"utt{index}",
+                        {"phoneme": candidates, "nasal": nasal},
+                        labels=labels,
+                    )
+                )
+
+        with PredictionReader(path) as reader:
+            device_stats = compute_edit_statistics(reader, map_phonemes=False, scorer="device")
+        with PredictionReader(path) as reader:
+            host_stats = compute_edit_statistics(reader, map_phonemes=False, scorer="host")
+
+        for language in device_stats:
+            for name in device_stats[language]:
+                dev = device_stats[language][name]
+                host = host_stats[language][name]
+                assert (dev.insertions, dev.deletions, dev.substitutions, dev.correct) == (
+                    host.insertions, host.deletions, host.substitutions, host.correct
+                ), (language, name)
