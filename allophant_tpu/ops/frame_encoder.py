@@ -44,17 +44,21 @@ def _erf(x):
 
 
 def _kernel(streams_ref, w_ref, bias_ref, scale_ref, ln_bias_ref, out_ref, *, eps):
-    """One [C, TILE] tile: 10 rank-1 accumulations + layer norm + exact GELU."""
-    acc = bias_ref[:] * jnp.ones((1, streams_ref.shape[2]), jnp.float32)  # [C, TILE]
-    for k in range(10):
-        acc += w_ref[:, k : k + 1] * streams_ref[0, k : k + 1, :]
+    """One [C, TILE] tile: the K=10 contraction on the MXU + layer norm + exact
+    GELU on the VPU (a rank-1 VPU accumulation was ~2x slower)."""
+    acc = (
+        jnp.dot(w_ref[:], streams_ref[0], preferred_element_type=jnp.float32)
+        + bias_ref[:]
+    )  # [C, TILE]
     mean = acc.mean(axis=0, keepdims=True)
     centered = acc - mean
     variance = (centered * centered).mean(axis=0, keepdims=True)
     normalized = centered * jax.lax.rsqrt(variance + eps)
     normalized = normalized * scale_ref[:] + ln_bias_ref[:]
     gelu = 0.5 * normalized * (1.0 + _erf(normalized * (2.0**-0.5)))
-    out_ref[0] = gelu.astype(out_ref.dtype)
+    # Tile-local transpose to the [T', C] layout downstream convs consume — far
+    # cheaper in VMEM than a 2 GB XLA transpose after the fact.
+    out_ref[0] = gelu.T.astype(out_ref.dtype)
 
 
 @functools.cache
@@ -108,7 +112,7 @@ def fused_frame_conv(
 
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((batch, channels, padded_frames), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, padded_frames, channels), out_dtype),
         grid=(batch, grid_t),
         in_specs=[
             pl.BlockSpec((1, 10, _TILE_FRAMES), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
@@ -118,11 +122,11 @@ def fused_frame_conv(
             pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, channels, _TILE_FRAMES), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+            (1, _TILE_FRAMES, channels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
         ),
         interpret=_use_interpret(),
     )(streams, w_t, bias_col, scale_col, ln_bias_col)
-    out = out[:, :, :num_frames]
+    out = out[:, :num_frames]
     if channels_first:
-        return out
-    return out.transpose(0, 2, 1)
+        return out.transpose(0, 2, 1)
+    return out
