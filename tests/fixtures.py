@@ -163,3 +163,50 @@ def mini_config_dict(
         "preprocessing": {"feature_type": "RAW", "resample": 16000},
         "data": {"languages": ["es", "it", "de"]},
     }
+
+
+def build_cv_corpus(root: str, utterances_per_split=((("train", 3), ("dev", 2), ("test", 1)))) -> None:
+    """Writes a tiny Common Voice-format corpus (msgpack + wav clips) under root."""
+    import os
+    import wave
+
+    import numpy as np
+
+    from allophant_tpu.data.common_voice import (
+        CommonVoiceCorpus,
+        CommonVoiceCorpusMeta,
+        Transcription,
+    )
+    from allophant_tpu.data.g2p import PhonemeTranscription, TaggedTranscription
+    from allophant_tpu.data.speech_corpus import LanguageData, LanguageInfo
+
+    rng = np.random.default_rng(0)
+    phoneme_sets = {"es": ["a", "o", "n"], "it": ["a", "s", "i"]}
+    for split, count in utterances_per_split:
+        languages = []
+        for language, phonemes in phoneme_sets.items():
+            transcriptions = []
+            for index in range(count):
+                utterance = f"{language}_{split}_{index}"
+                transcriptions.append(
+                    Transcription(
+                        "text", utterance, "client", None, None, None,
+                        PhonemeTranscription(["text"], [[TaggedTranscription(list(phonemes), None)]]),
+                    )
+                )
+                clips = os.path.join(root, language, "clips")
+                os.makedirs(clips, exist_ok=True)
+                samples = rng.uniform(-0.3, 0.3, 1600 + 160 * index).astype(np.float32)
+                data = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+                with wave.open(os.path.join(clips, f"{utterance}.wav"), "wb") as file:
+                    file.setnchannels(1)
+                    file.setsampwidth(2)
+                    file.setframerate(16000)
+                    file.writeframes(data.tobytes())
+            languages.append(
+                LanguageData(LanguageInfo(language, sorted(phonemes), [{}]), transcriptions)
+            )
+        corpus = CommonVoiceCorpus(
+            root, languages, CommonVoiceCorpusMeta("cv-mini", audio_format="wav")
+        )
+        corpus.save(root, split)
