@@ -167,21 +167,18 @@ class ConvFeatureEncoder(nn.Module):
         ):
             if layer_id == 0 and first_fused:
                 continue
-            if arch.feat_extract_norm == "layer":
-                use_bias = arch.conv_bias
-            else:
-                # "group" mode: only the first conv has a bias (per HF NoLayerNormConvLayer).
-                use_bias = arch.conv_bias
             hidden = nn.Conv(
                 features=out_dim,
                 kernel_size=(kernel,),
                 strides=(stride,),
                 padding="VALID",
-                use_bias=use_bias,
+                use_bias=arch.conv_bias,
                 dtype=self.dtype,
                 name=f"conv_{layer_id}",
             )(hidden)
             if arch.feat_extract_norm == "layer":
+                # XLA already fuses this LayerNorm+GELU into the conv epilogue; a
+                # hand-written Pallas epilogue measured no faster.
                 hidden = nn.LayerNorm(
                     epsilon=arch.layer_norm_eps, dtype=self.dtype, name=f"layer_norm_{layer_id}"
                 )(hidden)

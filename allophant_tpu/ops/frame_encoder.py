@@ -9,10 +9,10 @@ round-trips through HBM (conv -> layer norm -> GELU).
 
 This kernel uses a layout-native formulation: the audio is deinterleaved host-side
 (in XLA) into 10 tap streams S[b, k, f] = audio[b, 5 f + k] so every kernel operand
-has frames in the 128-wide lane dimension. Each output tile is accumulated as ten
-rank-1 VPU broadcasts W[:, k] (channels in sublanes) x S[k, :] (frames in lanes),
-then layer norm (channel = sublane reduction) and exact GELU are applied in the same
-VMEM tile — one HBM write for the whole conv+LN+GELU block."""
+has frames in the 128-wide lane dimension. Each output tile is one MXU contraction
+W^T [C, 10] x S [10, TILE], then layer norm (channel = sublane reduction), exact
+GELU and a tile-local transpose to [T', C] happen in the same VMEM tile — one HBM
+write for the whole conv+LN+GELU block."""
 
 from __future__ import annotations
 
