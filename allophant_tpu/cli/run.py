@@ -460,6 +460,7 @@ def evaluate(arguments: Namespace) -> None:
             map_phonemes=not arguments.no_remap,
             fix_unicode=arguments.fix_unicode,
             split_complex=arguments.split_complex,
+            scorer="host" if arguments.host_scorer else "device",
         )
         results = summarize_edit_statistics(
             statistics, reader.metadata.classifiers, str(vars(arguments))
@@ -611,6 +612,10 @@ def make_parser() -> ArgumentParser:
     error_analysis_parser.add_argument(
         "-s", "--split-complex", action="store_true",
         help="Splits complex segments in predictions and references before comparison",
+    )
+    error_analysis_parser.add_argument(
+        "--host-scorer", action="store_true",
+        help="Scores with the per-utterance native engine instead of the batched device DP",
     )
 
     evaluate_parser = subparsers.add_parser(

@@ -76,10 +76,11 @@ class AllophantModel(nn.Module):
     feature_size: int
     plan: ProjectionPlan
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         if isinstance(self.acoustic_config, Wav2Vec2Architecture):
-            self.acoustic_model = Wav2Vec2Model(self.acoustic_config, self.dtype)
+            self.acoustic_model = Wav2Vec2Model(self.acoustic_config, self.dtype, self.remat)
         elif isinstance(self.acoustic_config, TransformerAcousticModelConfig):
             self.acoustic_model = TransformerAcousticModel(
                 self.acoustic_config, self.feature_size, self.dtype
@@ -176,6 +177,7 @@ def build_model(
     attribute_indexer: Optional[PhoneticAttributeIndexer] = None,
     wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
     dtype: jnp.dtype = jnp.float32,
+    remat: bool = False,
 ) -> BuiltModel:
     """Builds the Allophant model from an architecture config (reference :988-1025).
 
@@ -220,7 +222,7 @@ def build_model(
         attribute_indexer,
     )
 
-    model = AllophantModel(acoustic_config, feature_size, plan, dtype)
+    model = AllophantModel(acoustic_config, feature_size, plan, dtype, remat)
     return BuiltModel(model, static_data, d_model, output_size)
 
 

@@ -338,6 +338,7 @@ class Wav2Vec2Encoder(nn.Module):
 
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, hidden, pad_mask, deterministic: bool = True) -> List[jnp.ndarray]:
@@ -353,8 +354,13 @@ class Wav2Vec2Encoder(nn.Module):
         hidden = nn.Dropout(arch.hidden_dropout)(hidden, deterministic=deterministic)
         embedded = hidden
 
+        # Rematerialization trades FLOPs for memory during training: layer
+        # activations are recomputed in the backward pass instead of stored.
+        layer_class = (
+            nn.remat(_ScanEncoderLayer, static_argnums=(3,)) if self.remat else _ScanEncoderLayer
+        )
         scan_layers = nn.scan(
-            _ScanEncoderLayer,
+            layer_class,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast),
@@ -374,10 +380,12 @@ class Wav2Vec2Model(nn.Module):
     """Full wav2vec2 encoder: raw audio [B, T] + lengths -> all hidden states.
 
     Returns (hidden_states, frame_lengths) where hidden_states is a list of
-    [B, T', D] arrays of length ``num_hidden_layers + 1``."""
+    [B, T', D] arrays of length ``num_hidden_layers + 1``. ``remat`` enables
+    per-layer rematerialization (jax.checkpoint) for memory-bound training."""
 
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, audio, lengths, deterministic: bool = True):
@@ -392,5 +400,7 @@ class Wav2Vec2Model(nn.Module):
         pad_mask = masking.mask_sequence(frame_lengths, features.shape[1]) if arch.use_attention_mask else None
 
         hidden = FeatureProjection(arch, self.dtype, name="feature_projection")(features, deterministic)
-        hidden_states = Wav2Vec2Encoder(arch, self.dtype, name="encoder")(hidden, pad_mask, deterministic)
+        hidden_states = Wav2Vec2Encoder(arch, self.dtype, self.remat, name="encoder")(
+            hidden, pad_mask, deterministic
+        )
         return hidden_states, frame_lengths

@@ -67,6 +67,48 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _reference_frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype):
+    """Pure-jnp forward with the same math as the kernel; used for the backward
+    pass (pallas_call has no autodiff rule) and as a correctness oracle."""
+    batch, samples = audio.shape
+    groups = audio.reshape(batch, samples // 5, 5)
+    frames = jnp.concatenate((groups[:, :-1], groups[:, 1:]), axis=-1)  # [B, F, 10]
+    hidden = (
+        jnp.dot(
+            frames.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        + bias.astype(jnp.float32)
+    )
+    mean = hidden.mean(axis=-1, keepdims=True)
+    centered = hidden - mean
+    variance = (centered * centered).mean(axis=-1, keepdims=True)
+    normalized = centered * jax.lax.rsqrt(variance + eps)
+    normalized = normalized * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    gelu = 0.5 * normalized * (1.0 + jax.lax.erf(normalized * (2.0**-0.5)))
+    return gelu.astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype):
+    return _pallas_frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype)
+
+
+def _frame_conv_fwd(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype):
+    out = _pallas_frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype)
+    return out, (audio, kernel, bias, ln_scale, ln_bias)
+
+
+def _frame_conv_bwd(eps, out_dtype, residuals, cotangent):
+    _, vjp = jax.vjp(
+        lambda *primals: _reference_frame_conv(*primals, eps, out_dtype), *residuals
+    )
+    return vjp(cotangent)
+
+
+_frame_conv.defvjp(_frame_conv_fwd, _frame_conv_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "out_dtype", "channels_first"))
 def fused_frame_conv(
     audio: jnp.ndarray,
@@ -82,16 +124,26 @@ def fused_frame_conv(
 
     ``audio``: [B, T] float32; ``kernel``: [10, 1, C] (flax Conv layout) or
     [10, C]. Returns [B, T//5 - 1, C] (VALID padding, matching
-    ``nn.Conv(padding="VALID")``), or [B, C, T//5 - 1] with ``channels_first``."""
-    batch, samples = audio.shape
+    ``nn.Conv(padding="VALID")``), or [B, C, T//5 - 1] with ``channels_first``.
+    Differentiable: the backward pass runs through an equivalent jnp
+    implementation (custom VJP)."""
+    samples = audio.shape[1]
     if kernel.ndim == 3:
         kernel = kernel[:, 0, :]
-    channels = kernel.shape[1]
 
     # VALID conv never reads past the last full stride-5 window; drop the tail.
     if samples % 5:
         samples -= samples % 5
         audio = audio[:, :samples]
+    out = _frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype)
+    if channels_first:
+        return out.transpose(0, 2, 1)
+    return out
+
+
+def _pallas_frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype):
+    batch, samples = audio.shape
+    channels = kernel.shape[1]
     num_groups = samples // 5
     num_frames = num_groups - 1
     padded_frames = ((num_frames + _TILE_FRAMES - 1) // _TILE_FRAMES) * _TILE_FRAMES
@@ -126,7 +178,4 @@ def fused_frame_conv(
         ),
         interpret=_use_interpret(),
     )(streams, w_t, bias_col, scale_col, ln_bias_col)
-    out = out[:, :num_frames]
-    if channels_first:
-        return out.transpose(0, 2, 1)
-    return out
+    return out[:, :num_frames]

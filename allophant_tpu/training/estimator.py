@@ -156,6 +156,7 @@ class Estimator:
         load_pretrained_weights: bool = True,
         seed: int = 0,
         dtype=jnp.float32,
+        remat: bool = False,
     ) -> "Estimator":
         built = build_model(
             config.nn,
@@ -165,6 +166,7 @@ class Estimator:
             attribute_indexer,
             wav2vec2_architecture,
             dtype=dtype,
+            remat=remat,
         )
         variables = built.init(jax.random.PRNGKey(seed))
         if load_pretrained_weights and isinstance(config.nn.acoustic_model, Wav2Vec2PretrainedConfig):

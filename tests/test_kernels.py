@@ -118,3 +118,38 @@ class TestUtils:
         parser.add_argument("--mode", action=EnumAction, type=Mode, default=Mode.A)
         assert parser.parse_args([]).mode == "a"
         assert parser.parse_args(["--mode", "b"]).mode == Mode.B
+
+
+class TestFrameConvGradients:
+    def test_custom_vjp_matches_flax_gradients(self):
+        """Training correctness: gradients through the fused kernel's custom VJP
+        must match the plain flax conv+LN+GELU path."""
+        rng = np.random.default_rng(2)
+        channels = 512
+        audio = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+        kernel = jnp.asarray((rng.standard_normal((10, 1, channels)) * 0.1).astype(np.float32))
+        bias = jnp.asarray((rng.standard_normal(channels) * 0.1).astype(np.float32))
+        scale = jnp.asarray((1 + rng.standard_normal(channels) * 0.1).astype(np.float32))
+        ln_bias = jnp.asarray((rng.standard_normal(channels) * 0.1).astype(np.float32))
+
+        def fused_loss(kernel, bias, scale, ln_bias):
+            out = fused_frame_conv(audio, kernel, bias, scale, ln_bias)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        def flax_loss(kernel, bias, scale, ln_bias):
+            conv = nn.Conv(channels, (10,), (5,), padding="VALID", use_bias=True, dtype=jnp.bfloat16)
+            h = conv.apply({"params": {"kernel": kernel, "bias": bias}},
+                           audio[:, :, None].astype(jnp.bfloat16))
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.bfloat16).apply(
+                {"params": {"scale": scale, "bias": ln_bias}}, h
+            )
+            out = nn.gelu(h, approximate=False)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        fused_grads = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(kernel, bias, scale, ln_bias)
+        flax_grads = jax.grad(flax_loss, argnums=(0, 1, 2, 3))(kernel, bias, scale, ln_bias)
+        for fused, plain in zip(fused_grads, flax_grads):
+            scale_ref = max(float(np.abs(np.asarray(plain)).max()), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(fused) / scale_ref, np.asarray(plain) / scale_ref, atol=0.02
+            )

@@ -210,3 +210,34 @@ class TestStackMicrobatches:
         # Filler rows keep nonzero audio lengths, zero label lengths.
         assert stacked["lengths"].min() >= 1
         assert stacked["label_lengths_phoneme"][1, 1] == 0
+
+
+class TestRemat:
+    def test_remat_matches_plain_gradients(self, tiny_corpus):
+        """Per-layer rematerialization must not change gradients (same math,
+        recomputed activations)."""
+        import jax
+        import jax.numpy as jnp
+        from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture, Wav2Vec2Model
+
+        arch = Wav2Vec2Architecture(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=64, conv_dim=(16,) * 7,
+            hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        )
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((2, 3200)).astype(np.float32))
+        lengths = jnp.full((2,), 3200, dtype=jnp.int32)
+
+        plain = Wav2Vec2Model(arch, jnp.float32, remat=False)
+        remat = Wav2Vec2Model(arch, jnp.float32, remat=True)
+        variables = plain.init(jax.random.PRNGKey(0), audio, lengths)
+
+        def loss(model, params):
+            hidden_states, _ = model.apply(params, audio, lengths)
+            return hidden_states[-1].sum()
+
+        grad_plain = jax.grad(lambda p: loss(plain, p))(variables)
+        grad_remat = jax.grad(lambda p: loss(remat, p))(variables)
+        for a, b in zip(jax.tree_util.tree_leaves(grad_plain), jax.tree_util.tree_leaves(grad_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
