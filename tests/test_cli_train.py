@@ -49,3 +49,57 @@ def test_train_cli_end_to_end(tmp_path):
 
     estimator, indexer = Estimator.restore(checkpoint)
     assert "phoneme" in estimator.classes
+
+
+def test_train_cli_with_precomputed_features(tmp_path):
+    """Train from the ragged feature store (-f), exercising the preprocess ->
+    train pipeline end to end."""
+    corpus_root = str(tmp_path / "cv")
+    os.makedirs(corpus_root)
+    build_cv_corpus(corpus_root)
+
+    attribute_path = str(tmp_path / "features.csv")
+    with open(attribute_path, "w", encoding="utf-8") as file:
+        file.write(mini_allophoible_csv())
+
+    config = mini_config_dict()
+    config["nn"]["batch_size"] = 2
+    config["nn"]["maximum_iterations"] = 1
+    config["data"]["languages"] = ["es", "it"]
+
+    from allophant_tpu.cli import data as data_cli
+
+    features_dir = str(tmp_path / "features_store")
+    data_cli.main(["preprocess", corpus_root, features_dir, "-j", json.dumps(config)])
+
+    save_path = str(tmp_path / "model.ckpt")
+    run_cli.main(
+        [
+            "train", corpus_root, "--cpu", "--no-progress",
+            "-j", json.dumps(config),
+            "-a", attribute_path,
+            "-f", features_dir,
+            "-s", save_path,
+        ]
+    )
+    assert os.path.isfile(save_path)
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    """StepProfiler drives jax.profiler trace windows from ProfilingConfig."""
+    from allophant_tpu.config import ProfilingConfig
+    from allophant_tpu.training.run import StepProfiler
+
+    trace_dir = str(tmp_path / "traces")
+    profiler = StepProfiler(ProfilingConfig(active_steps=2, tensorboard_dir=trace_dir))
+    import jax
+    import jax.numpy as jnp
+
+    for step in range(1, 8):
+        jnp.ones(8).sum().block_until_ready()
+        profiler.step(step)
+    profiler.stop()
+    contents = []
+    for root, _dirs, files in os.walk(trace_dir):
+        contents.extend(files)
+    assert contents  # trace events written
