@@ -124,7 +124,10 @@ def train_network(arguments: Namespace) -> None:
 
     if checkpoint is not None:
         MAIN_LOGGER.info("Restoring from %s", restore_path)
-        estimator, attribute_indexer = Estimator.restore(checkpoint)
+        # Rematerialize encoder activations: the XLS-R flagship's training step
+        # does not fit HBM otherwise (the saved attention/FFN residuals alone
+        # exceed 16 GB at practical batch sizes).
+        estimator, attribute_indexer = Estimator.restore(checkpoint, remat=True)
     else:
         attribute_table = arguments.attribute_path.read() if arguments.attribute_path else None
         attribute_indexer = PhoneticAttributeIndexer.from_config(
@@ -151,6 +154,7 @@ def train_network(arguments: Namespace) -> None:
             config.preprocessing.resample or 16_000,
             manager.attribute_graph(),
             attribute_indexer,
+            remat=True,
         )
 
     tensorboard_directory = arguments.tensorboard_directory

@@ -165,6 +165,7 @@ def build_flagship(
     wav2vec2_architecture=None,
     dtype=None,
     phoneme_layer: str = "allophones",
+    remat: bool = False,
 ):
     """Builds the flagship model (XLS-R 300m encoder unless overridden) over the demo
     table. Returns (config, indexer, built, variables-initializer)."""
@@ -200,5 +201,6 @@ def build_flagship(
         attribute_indexer=indexer,
         wav2vec2_architecture=wav2vec2_architecture,
         dtype=dtype,
+        remat=remat,
     )
     return config, indexer, built

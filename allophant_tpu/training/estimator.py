@@ -315,6 +315,7 @@ class Estimator:
         checkpoint: Checkpoint | str,
         dtype=jnp.float32,
         wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
+        remat: bool = False,
         **_kwargs,
     ) -> Tuple["Estimator", PhoneticAttributeIndexer]:
         """Restores from a native or reference checkpoint (path, HF model id from the
@@ -342,6 +343,7 @@ class Estimator:
             wav2vec2_architecture,
             load_pretrained_weights=False,
             dtype=dtype,
+            remat=remat,
         )
         if checkpoint.variables is not None:
             # Native checkpoint: variables restored wholesale onto the initialized
