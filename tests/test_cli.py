@@ -140,3 +140,57 @@ class TestDataCli:
     def test_parse_limits(self):
         assert data_cli._parse_limits("100") == 100
         assert data_cli._parse_limits('{"es": 5}') == {"es": 5}
+
+
+class TestCompositionPredict:
+    def test_zero_shot_per_language_decoders(self, ucla_dir, tmp_path):
+        """Composition models decode each language through its own inventory subset
+        (reference run.py:684-760): per-language FeatureDecoder + feature matrix."""
+        config = Config.load(mini_config_dict(embedding_composition=True))
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        estimator = Estimator.from_config(
+            config, 1, 16_000, attribute_graph_from_config(config, indexer), indexer,
+            load_pretrained_weights=False,
+        )
+        checkpoint_path = str(tmp_path / "composition.ckpt")
+        estimator.save(checkpoint_path, phonetic_indexer_state=indexer.state())
+
+        predictions_path = str(tmp_path / "predictions.jsonl")
+        run_cli.main(
+            [
+                "predict", ucla_dir, checkpoint_path, "--cpu", "--no-progress",
+                "-m", "utterances", "-s", "2", "-o", predictions_path,
+            ]
+        )
+        with open(predictions_path, "r", encoding="utf-8") as file:
+            lines = file.readlines()
+        assert len(lines) == 5
+        # Each utterance's phoneme candidates use only its language's inventory.
+        inventories = {"spa": {"a", "t", "n"}, "ita": {"a", "s"}}
+        for line in lines[1:]:
+            entry = json.loads(line)
+            for candidate in entry["predictions"]["phoneme"]:
+                assert set(candidate) <= inventories[entry["language"]], entry
+
+        results_path = str(tmp_path / "composition_results.json")
+        run_cli.main(["evaluate", predictions_path, "-j", "-o", results_path])
+        with open(results_path, "r", encoding="utf-8") as file:
+            results = json.load(file)
+        assert "phoneme" in results["results"]["total"]["error_rates"]
+
+    def test_training_language_filters(self, ucla_dir, saved_checkpoint, tmp_path):
+        # "only": restrict to the model's training languages (es/it of the mini
+        # config map to spa/ita which both exist in the test corpus).
+        predictions_path = str(tmp_path / "only.jsonl")
+        run_cli.main(
+            [
+                "predict", ucla_dir, saved_checkpoint, "--cpu", "--no-progress",
+                "-m", "utterances", "-s", "2", "--training-languages", "exclude",
+                "-o", predictions_path,
+            ]
+        )
+        with open(predictions_path, "r", encoding="utf-8") as file:
+            lines = file.readlines()
+        metadata = json.loads(lines[0])
+        # All test-corpus languages are training languages -> everything excluded.
+        assert metadata["languages"] == [] or len(lines) == 1
