@@ -320,7 +320,13 @@ class Estimator:
     ) -> Tuple["Estimator", PhoneticAttributeIndexer]:
         """Restores from a native or reference checkpoint (path, HF model id from the
         local cache, or parsed ``Checkpoint``); returns the estimator and the phonetic
-        indexer rebuilt from the embedded state (reference estimator.py:1085-1126)."""
+        indexer rebuilt from the embedded state (reference estimator.py:1085-1126).
+
+        Reference-API compatibility: the second positional argument may be a torch
+        device string ("cpu"/"cuda"/...) — JAX manages placement, so it is accepted
+        and ignored rather than treated as a dtype."""
+        if isinstance(dtype, str):
+            dtype = jnp.float32
         if not isinstance(checkpoint, Checkpoint):
             checkpoint = checkpoint_module.load_checkpoint(checkpoint)
 
