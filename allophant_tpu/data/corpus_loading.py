@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 from allophant_tpu.data.common_voice import CommonVoiceCorpus, CommonVoiceSplits
 from allophant_tpu.data.speech_corpus import MultilingualSplits

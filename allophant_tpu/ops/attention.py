@@ -83,7 +83,10 @@ def fused_attention(
     padded_time = time + pad
     block_q = _block_size(padded_time)
     block_k = _block_size(padded_time)
-    block_b = max(1, min(8, batch))
+    # Batch blocking amortizes per-grid-cell overhead, but the kernel's VMEM
+    # working set grows with block_b x T; scale it down for long sequences
+    # (block_b * padded_time <= 4096 keeps ~2 MB tiles under the 16 MB budget).
+    block_b = max(1, min(8, batch, 4096 // padded_time))
     while batch % block_b:
         block_b -= 1
     block_sizes = BlockSizes(
