@@ -179,6 +179,9 @@ class PreLNTransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, pad_mask, deterministic: bool = True):
+        return self._forward(hidden, pad_mask, deterministic)
+
+    def _forward(self, hidden, pad_mask, deterministic: bool = True):
         affine = self.elementwise_affine
         hidden = nn.LayerNorm(use_bias=affine, use_scale=affine, dtype=self.dtype, name="norm1")(hidden)
 
@@ -212,6 +215,15 @@ class PreLNTransformerLayer(nn.Module):
         feed = nn.Dropout(self.dropout_rate)(feed, deterministic=deterministic)
         feed = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(feed)
         return hidden + nn.Dropout(self.dropout_rate)(feed, deterministic=deterministic)
+
+
+class _ScanTransformerLayer(PreLNTransformerLayer):
+    """PreLNTransformerLayer with a scan-compatible (carry, y) contract."""
+
+    @nn.compact
+    def __call__(self, hidden, pad_mask, deterministic: bool = True):
+        hidden = self._forward(hidden, pad_mask, deterministic)
+        return hidden, hidden
 
 
 class TransformerAcousticModel(nn.Module):
@@ -283,20 +295,26 @@ class TransformerAcousticModel(nn.Module):
             features = features + sinusoidal_positions(features.shape[1], d_model, features.dtype)[None]
 
         pad_mask = masking.mask_sequence(lengths, features.shape[1])
-        outputs: List[jnp.ndarray] = []
-        hidden = features
-        for layer_id in range(transformer.num_layers):
-            hidden = PreLNTransformerLayer(
-                d_model,
-                transformer.heads,
-                transformer.feedforward_neurons,
-                transformer.dropout_rate,
-                transformer.activation,
-                affine,
-                self.dtype,
-                name=f"layer_{layer_id}",
-            )(hidden, pad_mask, deterministic)
-            outputs.append(hidden)
+        # Layers run under nn.scan with stacked [L, ...] parameters: one compiled
+        # layer body regardless of depth (same design as the wav2vec2 encoder).
+        scan_layers = nn.scan(
+            _ScanTransformerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=transformer.num_layers,
+        )
+        _hidden, stacked = scan_layers(
+            d_model,
+            transformer.heads,
+            transformer.feedforward_neurons,
+            transformer.dropout_rate,
+            transformer.activation,
+            affine,
+            self.dtype,
+            name="layers",
+        )(features, pad_mask, deterministic)
+        outputs = [stacked[index] for index in range(transformer.num_layers)]
 
         final_norm = nn.LayerNorm(use_bias=affine, use_scale=affine, dtype=self.dtype, name="final_norm")
         return [final_norm(output) for output in outputs], lengths
