@@ -1,51 +1,55 @@
-"""Dataclass-driven CSV row validation (Common Voice TSVs).
+"""Typed CSV/TSV row parsing driven by dataclass annotations.
 
-Counterpart of /root/reference/allophant/csv_validator.py: one converter per column
-derived from the dataclass field types, with Optional[T] columns mapping empty strings
-to None."""
+Validates Common Voice TSV rows into dataclass instances (the role of
+/root/reference/allophant/csv_validator.py). Columns are converted by the target
+field's annotated type; ``Optional[T]`` fields treat the empty string as ``None``.
+"""
 
 from __future__ import annotations
 
 import typing
-from typing import Any, Callable, Generic, Sequence, Type, TypeVar, Union
+from dataclasses import dataclass
+from typing import Any, Callable, Generic, List, Sequence, Type, TypeVar
+
+RowType = TypeVar("RowType")
 
 
 class CsvSchemaError(Exception):
-    """Raised when a CSV row doesn't match the given schema."""
+    """A CSV row does not fit the declared schema."""
 
 
-T = TypeVar("T")
+def _field_converter(annotation: Any) -> Callable[[str], Any]:
+    """Maps one dataclass field annotation to a cell-string converter."""
+    origin = typing.get_origin(annotation)
+    if origin is typing.Union:
+        arguments = typing.get_args(annotation)
+        non_none = [argument for argument in arguments if argument is not type(None)]
+        if len(non_none) == len(arguments) - 1 and len(non_none) == 1:
+            inner = non_none[0]
+            return lambda cell: inner(cell) if cell else None
+    return annotation
 
 
-class CsvSchema(Generic[T]):
-    def __init__(self, output_class: Type[T], converters: Sequence[Callable[[str], Any]]) -> None:
-        self._converters = converters
-        self._output_class = output_class
+@dataclass(frozen=True)
+class CsvSchema(Generic[RowType]):
+    """Compiled row parser for one dataclass."""
 
-    def convert_line(self, line: Sequence[str]) -> T:
-        if len(line) != len(self._converters):
+    row_type: Type[RowType]
+    converters: Sequence[Callable[[str], Any]]
+
+    def convert_line(self, cells: Sequence[str]) -> RowType:
+        expected = len(self.converters)
+        if len(cells) != expected:
             raise CsvSchemaError(
-                f"Number of columns doesn't match, expected {len(self._converters)}, got {len(line)}"
+                f"Number of columns doesn't match, expected {expected}, got {len(cells)}"
             )
-        return self._output_class(*(converter(column) for converter, column in zip(self._converters, line)))
+        values: List[Any] = []
+        for convert, cell in zip(self.converters, cells):
+            values.append(convert(cell))
+        return self.row_type(*values)
 
 
-def _optional_string(output_class: Type[T]) -> Callable[[str], T | None]:
-    def converter(string: str) -> T | None:
-        return output_class(string) if string else None
-
-    return converter
-
-
-def make_schema(dataclass: Type[T]) -> CsvSchema[T]:
-    converters = []
-    for type_hint in typing.get_type_hints(dataclass).values():
-        if (
-            typing.get_origin(type_hint) is Union
-            and len(args := typing.get_args(type_hint)) == 2
-            and args[1] is type(None)
-        ):
-            converters.append(_optional_string(args[0]))
-        else:
-            converters.append(type_hint)
-    return CsvSchema(dataclass, converters)
+def make_schema(row_type: Type[RowType]) -> CsvSchema[RowType]:
+    """Compiles a dataclass into a row parser, one converter per annotated field."""
+    hints = typing.get_type_hints(row_type)
+    return CsvSchema(row_type, tuple(_field_converter(hint) for hint in hints.values()))

@@ -2,14 +2,15 @@
 
 from importlib import resources
 
-from allophant_tpu import package_data
 
-RESOURCES = resources.files(package_data)
+def _resource(name: str):
+    return resources.files(__name__) / name
+
 
 DEFAULT_CONFIG_FILE = "default_config.toml"
-DEFAULT_CONFIG_PATH = str(RESOURCES / DEFAULT_CONFIG_FILE)
+DEFAULT_CONFIG_PATH = str(_resource(DEFAULT_CONFIG_FILE))
+DEFAULT_DIALECTS_PATH = _resource("default_dialects.json")
+PHONEME_REPLACEMENTS_PATH = _resource("espeakng_phoneme_replacements.json")
 # The Allophoible database is not bundled (it is large and released checkpoints embed
 # their own copy); fresh preprocessing expects a downloaded copy at this path.
-ALLOPHOIBLE_PATH = RESOURCES / "allophoible.csv"
-DEFAULT_DIALECTS_PATH = RESOURCES / "default_dialects.json"
-PHONEME_REPLACEMENTS_PATH = RESOURCES / "espeakng_phoneme_replacements.json"
+ALLOPHOIBLE_PATH = _resource("allophoible.csv")

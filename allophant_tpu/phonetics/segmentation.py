@@ -10,7 +10,6 @@ from __future__ import annotations
 import itertools
 import logging
 import unicodedata
-from logging import FileHandler, Filter, LogRecord, Logger
 from typing import Iterable, Iterator, List, Sequence
 
 from regex import regex
@@ -21,10 +20,9 @@ from allophant_tpu.phonemes import IpaSegmenter
 TONES = [chr(code) for code in range(0xA700, 0xA720)]
 _TONE_SET = frozenset(TONES)
 
-VOWELS = frozenset(
-    "aeiouy"
-    "æøœɐɑɒɔɘəɚɛɜɝɞɤɨɪɯɵɶʉʊʌʏ"
-)
+VOWELS = frozenset("aeiouyæøœɐɑɒɔɘəɚɛɜɝɞɤɨɪɯɵɶʉʊʌʏ")
+
+_UNKNOWN_LANGUAGE = "unknown"
 
 
 def filter_tones(inventory: Iterable[str]) -> Iterator[str]:
@@ -34,68 +32,61 @@ def filter_tones(inventory: Iterable[str]) -> Iterator[str]:
     ``re.search`` argument order; for the single-character tone symbols it filters in
     practice both behaviors agree, and this spelling implements the documented intent.)
     """
-    for phoneme in inventory:
-        if not any(character in _TONE_SET for character in phoneme):
-            yield phoneme
-
-
-class _MissingPhonemeFilter(Filter):
-    _DEFAULT_LANGUAGE = "unknown"
-
-    def __init__(self):
-        super().__init__()
-        self._seen = set()
-        self.language = self._DEFAULT_LANGUAGE
-
-    def filter(self, record: LogRecord) -> bool:
-        phoneme = record.msg
-        entry = (self.language, phoneme)
-        if entry in self._seen:
-            return False
-        self._seen.add(entry)
-        record.msg = f"Missing phoneme segment: ({self.language}) {phoneme!r}"
-        return True
-
-    def reset(self) -> None:
-        self._seen = set()
-        self.language = self._DEFAULT_LANGUAGE
+    return (
+        phoneme for phoneme in inventory if _TONE_SET.isdisjoint(phoneme)
+    )
 
 
 class SegmentationLogger:
-    """Warning logger that dedups missing-phoneme reports per language context."""
+    """Warning logger for phonemes missing from the segmentation vocabulary.
+
+    Reports are deduplicated per (language context, phoneme) so long corpora don't
+    flood the log (reference phoneme_segmentation.py:94-143); ``reset`` clears the
+    dedup state between corpus passes unless suppressed."""
 
     def __init__(self) -> None:
-        self._reset_steps = 0
-        self._segmentation_logger = logging.getLogger("allophant_tpu.phonetics.segmentation")
-        self._segmentation_logger.setLevel(logging.WARNING)
-        self._filter = _MissingPhonemeFilter()
-        self._segmentation_logger.addFilter(self._filter)
-
-    def add_file_handler(self, log_path) -> None:
-        self._segmentation_logger.addHandler(FileHandler(log_path, mode="w", encoding="utf-8"))
-
-    def context_language(self, language: str) -> None:
-        self._filter.language = language
+        self._logger = logging.getLogger("allophant_tpu.phonetics.segmentation")
+        self._logger.setLevel(logging.WARNING)
+        self._reported: set = set()
+        self._language = _UNKNOWN_LANGUAGE
+        self._pending_suppressions = 0
 
     @property
-    def log(self) -> Logger:
-        return self._segmentation_logger
+    def log(self) -> "SegmentationLogger":
+        # The logger doubles as its own `.log` facade so call sites read
+        # `SEGMENTATION_LOGGER.log.warning(...)`.
+        return self
+
+    def warning(self, phoneme: str) -> None:
+        key = (self._language, phoneme)
+        if key in self._reported:
+            return
+        self._reported.add(key)
+        self._logger.warning("Missing phoneme segment: (%s) %r", self._language, phoneme)
+
+    def context_language(self, language: str) -> None:
+        self._language = language
+
+    def add_file_handler(self, log_path) -> None:
+        self._logger.addHandler(logging.FileHandler(log_path, mode="w", encoding="utf-8"))
 
     def reset(self) -> None:
-        if self._reset_steps > 0:
-            self._reset_steps -= 1
-        else:
-            self._filter.reset()
+        if self._pending_suppressions:
+            self._pending_suppressions -= 1
+            return
+        self._reported.clear()
+        self._language = _UNKNOWN_LANGUAGE
 
     def suppress_resets(self, count: int = 1) -> None:
-        self._reset_steps += count
+        self._pending_suppressions += count
 
 
 SEGMENTATION_LOGGER = SegmentationLogger()
 
 
 class SegmentationProcessor:
-    """Hook points for pre/post-processing phonemes during lossy segmentation."""
+    """Hook points for pre/post-processing phonemes during lossy segmentation
+    (espeak's language-switch flags and replacement tables plug in here)."""
 
     def pre_process(self, phoneme: str, _phoneme_iterator: Iterator[str]) -> str:
         return phoneme
@@ -108,89 +99,83 @@ class IpaSentenceSegmenter:
     """Segments per-word phoneme sequences against a vocabulary.
 
     ``__call__`` is strict (raises on unknown spans); ``lossy_segment`` drops unknown
-    spans while logging them once per (language, phoneme).
-    """
+    spans while logging them once per (language, phoneme)."""
 
     def __init__(self, dictionary: List[str], processor: SegmentationProcessor | None = None) -> None:
         self._segmenter = IpaSegmenter(dictionary)
-        self._processor = SegmentationProcessor() if processor is None else processor
+        self._processor = processor or SegmentationProcessor()
 
     @property
     def word_segmenter(self) -> IpaSegmenter:
         return self._segmenter
 
     def __call__(self, phonetic_sentences: Iterable[List[str]]) -> Iterator[List[str]]:
-        return (self._segmenter.segment_words_checked(sentence) for sentence in phonetic_sentences)
+        return map(self._segmenter.segment_words_checked, phonetic_sentences)
+
+    def _lossy_one(self, sentence: List[str]) -> List[str]:
+        segmented: List[str] = []
+        cursor = iter(sentence)
+        for raw_phoneme in cursor:
+            phoneme = self._processor.pre_process(raw_phoneme, cursor)
+            pieces = self._processor.post_process(self._segmenter.segment(phoneme), cursor)
+            segmented.extend(pieces)
+            if len(pieces) == 1:
+                continue
+            # Splits (or empty results) mean the vocabulary lacked the phoneme —
+            # report it, flagging lossy splits that dropped characters.
+            dropped = "".join(pieces) != phoneme
+            SEGMENTATION_LOGGER.log.warning(
+                phoneme + " (Missing sub-segment when split)" if dropped else phoneme
+            )
+        return segmented
 
     def lossy_segment(self, phonetic_sentences: Iterable[List[str]]) -> Iterator[List[str]]:
-        for sentence in phonetic_sentences:
-            sentence_phonemes: List[str] = []
-            phoneme_iterator = iter(sentence)
-            for phoneme in phoneme_iterator:
-                pre_processed = self._processor.pre_process(phoneme, phoneme_iterator)
-                sub_segments = self._processor.post_process(
-                    self._segmenter.segment(pre_processed), phoneme_iterator
-                )
-                sentence_phonemes.extend(sub_segments)
-                if len(sub_segments) != 1:
-                    if "".join(sub_segments) != pre_processed:
-                        SEGMENTATION_LOGGER.log.warning(pre_processed + " (Missing sub-segment when split)")
-                    else:
-                        SEGMENTATION_LOGGER.log.warning(pre_processed)
-            yield sentence_phonemes
+        return map(self._lossy_one, phonetic_sentences)
 
 
 def _is_mark(character: str) -> bool:
     category = unicodedata.category(character)
-    return category.endswith("m") or category == "Sk" or category.startswith("M")
-
-
-def is_vowel_only_segment(segment: str) -> bool:
-    return all(character in VOWELS for character in segment if not _is_mark(character))
+    return category.startswith("M") or category.endswith("m") or category == "Sk"
 
 
 def base_phonemes(segment: str) -> Iterator[str]:
     """Characters that are not marks or diacritics — the phoneme base characters."""
-    return (character for character in segment if not _is_mark(character))
+    return itertools.filterfalse(_is_mark, segment)
+
+
+def is_vowel_only_segment(segment: str) -> bool:
+    return all(character in VOWELS for character in base_phonemes(segment))
 
 
 def complex_with_vowel(base_characters: Iterable[str]) -> bool:
-    count = 0
-    has_vowel = False
-    for character in base_characters:
-        if character in VOWELS:
-            has_vowel = True
-        count += 1
-    return has_vowel and count > 1
+    """True for multi-character segments containing at least one vowel."""
+    characters = list(base_characters)
+    return len(characters) > 1 and any(character in VOWELS for character in characters)
 
 
 def is_multi_vowel(base_characters: Iterable[str]) -> bool:
-    count = 0
-    for character in base_characters:
-        if character not in VOWELS:
-            return False
-        count += 1
-    return count > 1
+    """True for segments of two or more characters that are all vowels."""
+    characters = list(base_characters)
+    return len(characters) > 1 and all(character in VOWELS for character in characters)
 
 
 def split_complex_segment(segment: str) -> List[str]:
     """Splits a complex segment into per-base grapheme clusters, attaching leading
     marks to the following cluster and trailing marks to the preceding one."""
     clusters: List[str] = []
-    prefix = ""
-    for grapheme_match in regex.finditer(r"\X", segment):
-        grapheme = grapheme_match.group()
+    carried_marks = ""
+    for grapheme in regex.findall(r"\X", segment):
         if len(grapheme) == 1 and _is_mark(grapheme):
-            if not clusters:
-                prefix += grapheme
-            else:
+            if clusters:
                 clusters[-1] += grapheme
+            else:
+                carried_marks += grapheme
         else:
-            clusters.append(prefix + grapheme)
-            prefix = ""
-    # Mark-only segments (e.g. tone contours) stay together.
-    if prefix:
-        clusters.append(prefix)
+            clusters.append(carried_marks + grapheme)
+            carried_marks = ""
+    if carried_marks:
+        # Mark-only segments (e.g. tone contours) stay together.
+        clusters.append(carried_marks)
     return clusters
 
 
@@ -199,7 +184,7 @@ def split_all_complex_segments(segments: Iterable[str]) -> Iterator[str]:
 
 
 def split_phoneme_segment(segment: str) -> List[List[str]]:
-    return [split_complex_segment(subsegment) for subsegment in segment.split("|")]
+    return [split_complex_segment(piece) for piece in segment.split("|")]
 
 
 def iterator_length(iterator: Iterator) -> int:
