@@ -294,7 +294,7 @@ def make_parser() -> ArgumentParser:
         help="G2P engine(s) for extracting phonemic transcriptions",
     )
     transcription_parser.add_argument(
-        "-i", "--include-single-upvote", action="store_true",
+        "-u", "--include-single-upvote", action="store_true",
         help="Includes unvalidated utterances with more upvotes than downvotes",
     )
     transcription_parser.add_argument(
@@ -340,7 +340,7 @@ def make_parser() -> ArgumentParser:
         "download-meta", help="Downloads Common Voice release metadata"
     )
     download_meta_parser.add_argument(
-        "-o", "--output", type=FileType("w", encoding="utf-8"), default=sys.stdout,
+        "output", nargs="?", type=FileType("w", encoding="utf-8"), default=sys.stdout,
         help="Output file for the metadata",
     )
     download_meta_parser.add_argument(
@@ -394,7 +394,7 @@ def make_parser() -> ArgumentParser:
         "-l", "--lengths", help="Path to previously saved utterance lengths"
     )
     statistics_parser.add_argument(
-        "--only-primary-script", action="store_true",
+        "-p", "--only-primary-script", action="store_true",
         help="Keeps only transcriptions in each language's primary script",
     )
     statistics_parser.add_argument(

@@ -84,3 +84,27 @@ class TestFeaturesCli:
         # The processed table renames Phoneme to lowercase like the reference
         # (phonetic_features.py:1164-1166).
         assert "phoneme" in processed.columns
+
+
+class TestReferenceFlagSpellings:
+    """The reference's exact flag spellings parse (datasets/__main__.py:377-539)."""
+
+    def test_transcribe_short_upvote_flag(self):
+        args = data_cli.make_parser().parse_args(["transcribe", "/tmp/cv", "-u"])
+        assert args.include_single_upvote is True
+
+    def test_stats_short_primary_script_flag(self):
+        args = data_cli.make_parser().parse_args(["stats", "/tmp/cv", "-p"])
+        assert args.only_primary_script is True
+
+    def test_download_meta_positional_output(self, tmp_path):
+        out_path = str(tmp_path / "meta.json")
+        args = data_cli.make_parser().parse_args(["download-meta", out_path])
+        assert args.output.name == out_path
+        args.output.close()
+
+    def test_download_meta_output_defaults_to_stdout(self):
+        import sys
+
+        args = data_cli.make_parser().parse_args(["download-meta"])
+        assert args.output is sys.stdout
