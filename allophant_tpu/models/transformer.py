@@ -20,6 +20,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from allophant_tpu.ops.activations import fast_gelu
 from allophant_tpu.config import (
     DirectFrontendConfig,
     DropoutConfig,
@@ -211,7 +212,7 @@ class PreLNTransformerLayer(nn.Module):
 
         feed_input = nn.LayerNorm(use_bias=affine, use_scale=affine, dtype=self.dtype, name="norm2")(hidden)
         feed = nn.Dense(self.feedforward_size, dtype=self.dtype, name="linear1")(feed_input)
-        feed = nn.relu(feed) if self.activation == "relu" else nn.gelu(feed, approximate=False)
+        feed = nn.relu(feed) if self.activation == "relu" else fast_gelu(feed)
         feed = nn.Dropout(self.dropout_rate)(feed, deterministic=deterministic)
         feed = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(feed)
         return hidden + nn.Dropout(self.dropout_rate)(feed, deterministic=deterministic)

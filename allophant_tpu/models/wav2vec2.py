@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from allophant_tpu.ops import masking
+from allophant_tpu.ops.activations import fast_gelu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +188,7 @@ class ConvFeatureEncoder(nn.Module):
                 hidden = nn.GroupNorm(
                     num_groups=out_dim, epsilon=arch.layer_norm_eps, dtype=self.dtype, name="group_norm"
                 )(hidden)
-            hidden = nn.gelu(hidden, approximate=False)
+            hidden = fast_gelu(hidden)
         return hidden
 
 
@@ -227,7 +228,7 @@ class PositionalConvEmbedding(nn.Module):
         if kernel % 2 == 0:
             # torch pads kernel//2 on both sides then trims the trailing frame.
             embeddings = embeddings[:, :-1]
-        return nn.gelu(embeddings, approximate=False)
+        return fast_gelu(embeddings)
 
 
 class SelfAttention(nn.Module):
@@ -272,7 +273,7 @@ class FeedForward(nn.Module):
     def __call__(self, hidden, deterministic: bool = True):
         arch = self.architecture
         hidden = nn.Dense(arch.intermediate_size, dtype=self.dtype, name="intermediate_dense")(hidden)
-        hidden = nn.gelu(hidden, approximate=False)
+        hidden = fast_gelu(hidden)
         hidden = nn.Dropout(arch.activation_dropout)(hidden, deterministic=deterministic)
         hidden = nn.Dense(arch.hidden_size, dtype=self.dtype, name="output_dense")(hidden)
         return nn.Dropout(arch.hidden_dropout)(hidden, deterministic=deterministic)

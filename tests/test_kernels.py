@@ -153,3 +153,47 @@ class TestFrameConvGradients:
             np.testing.assert_allclose(
                 np.asarray(fused) / scale_ref, np.asarray(plain) / scale_ref, atol=0.02
             )
+
+
+class TestFastGelu:
+    """fast_gelu must be indistinguishable from exact (erf) GELU at output
+    precision: f32 inputs use the true erf form; bf16 inputs may differ by at
+    most 1 ulp on a small fraction of values."""
+
+    def test_f32_is_exact(self):
+        from allophant_tpu.ops.activations import fast_gelu
+
+        x = jnp.asarray(np.linspace(-12.0, 12.0, 4001), jnp.float32)
+        exact = 0.5 * x * (1.0 + jax.lax.erf(x * np.float32(2**-0.5)))
+        np.testing.assert_array_equal(np.asarray(fast_gelu(x)), np.asarray(exact))
+
+    def test_bf16_within_one_ulp_or_noise_floor(self):
+        from allophant_tpu.ops.activations import fast_gelu
+
+        from scipy.special import erf as scipy_erf
+
+        # Every finite bf16 value (scipy f64 erf as the platform-independent
+        # ground truth: jax.lax.erf itself misbehaves for huge args on some
+        # backends).
+        bits = (np.arange(2**16, dtype=np.uint32) << 16).view(np.float32)
+        values = bits[np.isfinite(bits)]
+        x = jnp.asarray(values, jnp.bfloat16)
+        exact = jnp.asarray(
+            0.5 * values.astype(np.float64) * (1.0 + scipy_erf(values / np.sqrt(2.0))),
+            jnp.bfloat16,
+        )
+        fast = fast_gelu(x)
+        mismatched = np.asarray(exact != fast)
+        # Differences are single-ulp rounding flips, or deep-tail outputs whose
+        # magnitude (< 3e-5) is below bf16 resolution of O(1) activations.
+        exact_f = np.asarray(exact.astype(jnp.float32))[mismatched]
+        fast_f = np.asarray(fast.astype(jnp.float32))[mismatched]
+        ulp = np.abs(np.spacing(exact_f.astype(np.float32))) * 2**16  # bf16 spacing
+        assert np.all(np.abs(exact_f - fast_f) <= np.maximum(ulp, 5e-5))
+
+    def test_saturated_tails(self):
+        from allophant_tpu.ops.activations import fast_gelu
+
+        x = jnp.asarray([-50.0, -8.0, 8.0, 50.0], jnp.bfloat16)
+        out = np.asarray(fast_gelu(x).astype(jnp.float32))
+        np.testing.assert_allclose(out, [0.0, 0.0, 8.0, 50.0], atol=1e-6)
