@@ -55,13 +55,37 @@ def fused_attention(
     if not _flash_available():
         return reference_attention(query, key, value, pad_mask, sm_scale)
 
+    from allophant_tpu.ops.oneshot_attention import MAX_ONESHOT_TIME, oneshot_attention
+
+    pad = _pad_to_block(time)
+    if time + pad <= MAX_ONESHOT_TIME:
+        # Short sequences (the common ASR case): single-pass kernel over the
+        # [B, T, H*hd] projection layout — no head transposes, full score tile
+        # in VMEM. ~3x faster than the flash path at T=512, B=64 on v5e.
+        model_dim = heads * head_dim
+        q = query.reshape(batch, time, model_dim)
+        k = key.reshape(batch, time, model_dim)
+        v = value.reshape(batch, time, model_dim)
+        if pad_mask is None:
+            bias = jnp.zeros((batch, time), jnp.float32)
+        else:
+            bias = jnp.where(pad_mask, 0.0, -1e9).astype(jnp.float32)
+        if pad:
+            widths = ((0, 0), (0, pad), (0, 0))
+            q = jnp.pad(q, widths)
+            k = jnp.pad(k, widths)
+            v = jnp.pad(v, widths)
+            bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=-1e9)
+        out = oneshot_attention(q, k, v, bias, sm_scale, heads)
+        if pad:
+            out = out[:, :time]
+        return out.reshape(batch, time, heads, head_dim)
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         SegmentIds,
         flash_attention,
     )
-
-    pad = _pad_to_block(time)
     q = jnp.transpose(query, (0, 2, 1, 3))
     k = jnp.transpose(key, (0, 2, 1, 3))
     v = jnp.transpose(value, (0, 2, 1, 3))

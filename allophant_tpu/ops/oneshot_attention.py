@@ -1,0 +1,131 @@
+"""One-shot (non-flash) multi-head attention kernel for short sequences.
+
+ASR utterances are short: 10 s of 16 kHz audio is ~500 wav2vec2 frames, so a
+full [T, T] f32 score tile fits comfortably in VMEM and the online-softmax
+machinery of flash attention (running max/sum, rescaling across key blocks) is
+pure overhead. This kernel computes attention in one pass per (batch, head):
+
+    grid = (B,); each cell loops over the H heads of one utterance:
+        scores = q_h @ k_h^T * scale + key_bias     (MXU, f32 accumulate)
+        p      = softmax(scores)                    (VPU, full [T, T] tile)
+        out_h  = p @ v_h                            (MXU)
+
+Crucially the kernel reads q/k/v in [B, T, H*hd] layout — exactly what the
+projection matmuls produce — so the [B, T, H, hd] -> [B, H, T, hd] transposes
+the flash kernel requires (three 65 MB copies per layer at batch 64) disappear.
+
+Padding is an additive f32 key bias (0 valid / -1e9 padded), matching the
+reference einsum formulation (`ops/attention.py:reference_attention`). Padded
+*query* rows see an all--1e9 score row and produce a uniform average; the same
+garbage-in-its-own-row behavior as the flash path's segment-id masking, and
+downstream masking drops those frames.
+
+The backward pass delegates to the flash/einsum path via ``jax.custom_vjp`` —
+training differentiates the same math, inference never pays for transposes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+# Full-tile VMEM use is ~(4 * T * D * 2 + 4 * T * T) bytes plus pipeline
+# buffers; 768 frames (~23 s audio) stays under the 16 MB budget at D=1024.
+MAX_ONESHOT_TIME = 768
+
+
+def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
+    bias = bias_ref[0]  # [1, T] f32, broadcasts over query rows
+    for head in range(heads):
+        lo = head * head_dim
+        hi = lo + head_dim
+        q = q_ref[0, :, lo:hi]
+        k = k_ref[0, :, lo:hi]
+        v = v_ref[0, :, lo:hi]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * sm_scale + bias
+        peak = jnp.max(scores, axis=-1, keepdims=True)
+        exps = jnp.exp(scores - peak)
+        total = jnp.sum(exps, axis=-1, keepdims=True)
+        probabilities = (exps / total).astype(v.dtype)
+        context = jax.lax.dot_general(
+            probabilities, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out_ref[0, :, lo:hi] = context.astype(out_ref.dtype)
+
+
+def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=False):
+    """query/key/value: [B, T, H*hd] (T a multiple of 128), key_bias: [B, T] f32."""
+    batch, time, model_dim = query.shape
+    key_bias = key_bias[:, None, :]  # [B, 1, T]: blocks need >=2 trailing dims
+    head_dim = model_dim // heads
+    kernel = functools.partial(
+        _attention_kernel, heads=heads, head_dim=head_dim, sm_scale=np.float32(sm_scale)
+    )
+    qkv_spec = pl.BlockSpec((1, time, model_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, 1, time), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
+        interpret=interpret,
+    )(key_bias, query, key, value)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def oneshot_attention(query, key, value, key_bias, sm_scale, heads):
+    """[B, T, H*hd] attention with additive key bias; T must be 128-aligned."""
+    return _oneshot_forward(query, key, value, key_bias, sm_scale, heads)
+
+
+def _reference_bthd(query, key, value, key_bias, sm_scale, heads):
+    """The differentiable formulation the backward pass uses (einsum over
+    [B, T, H, hd] views; numerically the same math as the kernel)."""
+    batch, time, model_dim = query.shape
+    head_dim = model_dim // heads
+    shape = (batch, time, heads, head_dim)
+    logits = jnp.einsum(
+        "bthd,bshd->bhts",
+        query.reshape(shape) * sm_scale,
+        key.reshape(shape),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits + key_bias[:, None, None, :]
+    weights = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
+    context = jnp.einsum("bhts,bshd->bthd", weights, value.reshape(shape))
+    return context.reshape(batch, time, model_dim)
+
+
+def _oneshot_fwd(query, key, value, key_bias, sm_scale, heads):
+    return oneshot_attention(query, key, value, key_bias, sm_scale, heads), (
+        query,
+        key,
+        value,
+        key_bias,
+    )
+
+
+def _oneshot_bwd(sm_scale, heads, residuals, cotangent):
+    query, key, value, key_bias = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: _reference_bthd(q, k, v, key_bias, sm_scale, heads), query, key, value
+    )
+    d_query, d_key, d_value = vjp(cotangent)
+    return d_query, d_key, d_value, None
+
+
+oneshot_attention.defvjp(_oneshot_fwd, _oneshot_bwd)

