@@ -49,16 +49,20 @@ def main() -> None:
     lengths = jnp.full((batch,), samples, dtype=jnp.int32)
     language_ids = jnp.zeros((batch,), dtype=jnp.int32)
 
-    def run_once() -> float:
+    def run_pipelined(num_batches: int) -> float:
+        """Steady-state serving throughput: dispatch all batches back-to-back
+        (async dispatch pipelines them on device), then drain the decoded ids.
+        The final host transfer fences execution (block_until_ready alone may
+        not fence on tunneled backends); per-dispatch tunnel latency overlaps
+        with device compute instead of being serialized into every batch."""
         start = time.perf_counter()
-        tokens, counts = transcribe(variables, audio, lengths, language_ids)
-        # Host transfer of the decoded ids fences device execution (block_until_ready
-        # alone may not fence on tunneled backends).
-        np.asarray(tokens)
-        return time.perf_counter() - start
+        results = [transcribe(variables, audio, lengths, language_ids) for _ in range(num_batches)]
+        for tokens, _counts in results:
+            np.asarray(tokens)
+        return (time.perf_counter() - start) / num_batches
 
-    run_once()  # warmup/compile
-    elapsed = min(run_once() for _ in range(8))
+    run_pipelined(1)  # warmup/compile
+    elapsed = min(run_pipelined(4) for _ in range(4))
 
     rtf = batch * seconds / elapsed
     print(
