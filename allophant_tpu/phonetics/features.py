@@ -591,10 +591,24 @@ class PhoneticAttributeIndexer(PhonemeIndexer):
                 ["SegmentClass", *feature_table.columns[start:]],
             ]
         elif feature_set == FeatureSet.PANPHON:
-            raise NotImplementedError(
-                "The panphon feature set requires the panphon package, which is not available;"
-                " released checkpoints all use PHOIBLE features"
-            )
+            if allophones_from_allophoible:
+                raise NotImplementedError("Allophone handling is not implemented for Panphon features")
+            self._allophone_data_frame = None
+            original_feature_table = read_panphon(attribute_table_file, index_column="ipa")
+            feature_start_column = "syl"
+            start = original_feature_table.columns.get_loc(feature_start_column)
+            # Drop erroneous duplicate vowels differing only in delrel; keeping the
+            # first selects delrel 0 (reference :628-638, panphon issue #26).
+            phoneme_attributes = original_feature_table.loc[
+                ~original_feature_table.index.duplicated(keep="first"),
+                original_feature_table.columns[start:],
+            ]
+            # Add tie-stripped variants of multi-segment phonemes so G2P output
+            # without ties still resolves.
+            rows_with_ties = phoneme_attributes[phoneme_attributes.index.str.contains(TIE)].copy()
+            rows_with_ties.index = [segment.replace(TIE, "") for segment in rows_with_ties.index]
+            phoneme_attributes = pd.concat([phoneme_attributes, rows_with_ties], verify_integrity=True)
+            phoneme_attributes.index.rename(PHONEME_FEATURE, inplace=True)
         else:
             raise ValueError(f"Unsupported feature set: {feature_set}")
 
@@ -642,10 +656,13 @@ class PhoneticAttributeIndexer(PhonemeIndexer):
         full_columns = list(self._full_attributes._feature_columns)
         start_position = full_columns.index(feature_start_column)
         composition_start_column = full_columns[start_position + 1]
+        # PHOIBLE's start column ("tone") is excluded from the composition
+        # features; panphon's ("syl") is a regular varying feature
+        # (reference :689-692).
         varying_feature_categories = {
             name: categories
             for name, categories in self._full_attributes._feature_categories.items()
-            if name != feature_start_column
+            if not (feature_set == FeatureSet.PHOIBLE and name == feature_start_column)
         }
         features_only = dict(varying_feature_categories)
         features_only.pop(PHONEME_FEATURE, None)
@@ -881,6 +898,27 @@ class PhoneticAttributeIndexer(PhonemeIndexer):
                 source_mapping[closest_in_source] = target_phoneme
 
         return source_mapping
+
+
+def read_panphon(file=None, index_column: str | None = None) -> DataFrame:
+    """Reads a panphon feature CSV (``ipa_all.csv`` format) from a path, buffer or
+    CSV text string; with no file, falls back to the table shipped with the
+    optional ``panphon`` package (reference phonetic_features.py:974-986)."""
+    if file is None:
+        try:
+            from importlib import resources
+
+            import panphon  # type: ignore[import-not-found]
+        except ImportError as error:
+            raise FileNotFoundError(
+                "No panphon feature table provided and the optional panphon package"
+                " is not installed; pass a path to an ipa_all.csv-format table"
+            ) from error
+        with (resources.files(panphon) / "data/ipa_all.csv").open("r", encoding="utf-8") as default_file:
+            return pd.read_csv(default_file, dtype=str, index_col=index_column)
+    if isinstance(file, str) and "\n" in file:
+        file = StringIO(file)
+    return pd.read_csv(file, dtype=str, index_col=index_column)
 
 
 def read_allophoible(file=None, index_column: str | None = None) -> DataFrame:

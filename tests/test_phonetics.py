@@ -340,3 +340,59 @@ class TestConfig:
             assert float(schedule(count)) == pytest.approx(
                 warmup.learning_rate(count + 1, 64), rel=1e-5
             )
+
+
+class TestPanphonFeatureSet:
+    """Panphon-format feature tables load without the panphon package when an
+    explicit table is provided (reference phonetic_features.py:628-642,974-986)."""
+
+    PANPHON_CSV = "\n".join(
+        [
+            "ipa,syl,son,cons,cont,nas,lab,hi,lo,back",
+            "a,+,+,-,+,-,-,-,+,-",
+            "i,+,+,-,+,-,-,+,-,-",
+            "u,+,+,-,+,-,+,+,-,+",
+            "p,-,-,+,-,-,+,-,-,-",
+            "t,-,-,+,-,-,-,-,-,-",
+            "n,-,+,+,-,+,-,-,-,-",
+            "t͡s,-,-,+,0,-,-,-,-,-",
+        ]
+    )
+
+    def test_indexer_builds_from_csv(self):
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+
+        indexer = PhoneticAttributeIndexer(FeatureSet.PANPHON, self.PANPHON_CSV)
+        phonemes = list(indexer.attributes.phonemes)
+        assert "a" in phonemes and "t͡s" in phonemes
+        # Tie-stripped variant added for G2P output without ties.
+        assert "ts" in phonemes
+        # syl is a regular composition feature for panphon (unlike PHOIBLE's tone).
+        assert "syl" in indexer.composition_features
+
+    def test_composition_matrix_round_trip(self):
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+
+        indexer = PhoneticAttributeIndexer(FeatureSet.PANPHON, self.PANPHON_CSV)
+        matrix = indexer.composition_feature_matrix(["a", "p", "n"])
+        assert matrix.shape[0] == 3
+
+    def test_allophones_unsupported(self):
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+
+        with pytest.raises(NotImplementedError):
+            PhoneticAttributeIndexer(
+                FeatureSet.PANPHON, self.PANPHON_CSV, allophones_from_allophoible=True
+            )
+
+    def test_no_table_and_no_package_raises(self):
+        from allophant_tpu.phonetics.features import read_panphon
+
+        try:
+            import panphon  # noqa: F401
+
+            pytest.skip("panphon package installed")
+        except ImportError:
+            pass
+        with pytest.raises(FileNotFoundError):
+            read_panphon(None)
