@@ -290,6 +290,29 @@ class GraphemeToPhonemeEnsemble(PhonemeTranscriber):
         return len(self._g2p_types)
 
 
+def _tone_backoff(lang_script_codes: List[str], tones: bool = False, cedict_file=None):
+    """An ``epitran.Backoff`` whose per-language transliterators have tone
+    support enabled (the stock class never passes a tones flag through). The
+    instance is built uninitialized and given the same attribute set Backoff's
+    own constructor produces, with ``tones`` forwarded to each ``Epitran``."""
+    import panphon.featuretable  # type: ignore[import-not-found]
+    import regex  # type: ignore[import-not-found]
+    from epitran import Epitran
+    from epitran.backoff import Backoff
+    from epitran.puncnorm import PuncNorm
+    from epitran.stripdiacritics import StripDiacritics
+    from epitran.xsampa import XSampa
+
+    backoff = Backoff.__new__(Backoff)
+    backoff.langs = [Epitran(code, cedict_file=cedict_file, tones=tones) for code in lang_script_codes]
+    backoff.num_re = regex.compile(r"\p{Number}+")
+    backoff.ft = panphon.featuretable.FeatureTable()
+    backoff.xsampa = XSampa()
+    backoff.puncnorm = PuncNorm()
+    backoff.dias = [StripDiacritics(code) for code in lang_script_codes]
+    return backoff
+
+
 class EpitranG2P(GraphemeToPhonemeModel):
     """Epitran-based G2P (requires the optional ``epitran`` + ``stanza`` packages)."""
 
@@ -307,7 +330,14 @@ class EpitranG2P(GraphemeToPhonemeModel):
         mode = self._ENGLISH if code == "eng" else meta.get_default_mode(code)
         if mode is None:
             raise ValueError(f"Language {code!r} not supported")
-        self._epitran = Epitran(mode, tones=tones)
+        if not tones or mode.split("-")[1] == "Latn":
+            self._epitran = Epitran(mode, tones=tones)
+        else:
+            # Non-Latin script with tones: back off to English G2P for embedded
+            # Latin-script words (reference datasets/phonemes.py:362-366); stock
+            # epitran.Backoff has no tones flag, so its transliterators are
+            # rebuilt with tones enabled.
+            self._epitran = _tone_backoff([mode, self._ENGLISH], tones=tones)
         self._segmenter = IpaSentenceSegmenter(self._segment_inventory)
 
     def _process_batch(self, words) -> Sequence[List[TaggedTranscription]]:
