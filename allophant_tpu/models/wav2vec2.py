@@ -12,9 +12,14 @@ Design differences from the torch implementation, driven by XLA/TPU:
 - Batch-first [B, T, D] layout throughout; static padded shapes with integer lengths
   (masks computed inside jit, no dynamic shapes).
 - The positional-conv weight norm is folded into a plain kernel at load time.
-- Attention routes through the Pallas TPU flash-attention kernel with segment-id
-  padding masks (einsum fallback for CPU and attention-dropout training).
-- The first feature-extractor conv + LayerNorm + GELU run as one fused Pallas kernel.
+- Attention routes through a one-shot Pallas kernel at utterance lengths (full
+  score tile in VMEM, no head transposes; see ``ops/oneshot_attention.py``) and
+  the flash-attention kernel beyond, with an einsum fallback for CPU and
+  attention-dropout training.
+- The first feature-extractor conv + LayerNorm + GELU run as one fused Pallas
+  kernel; GELUs elsewhere use the bf16-exact fast tanh-polynomial form
+  (``ops/activations.py``).
+- Frames are padded to 128-alignment once before the encoder scan.
 - Compute dtype is configurable (bf16 on TPU) with f32 parameters.
 """
 

@@ -55,10 +55,10 @@ def fused_attention(
     if not _flash_available():
         return reference_attention(query, key, value, pad_mask, sm_scale)
 
-    from allophant_tpu.ops.oneshot_attention import MAX_ONESHOT_TIME, oneshot_attention
+    from allophant_tpu.ops.oneshot_attention import MAX_HEADBLOCK_TIME, oneshot_attention
 
     pad = _pad_to_block(time)
-    if time + pad <= MAX_ONESHOT_TIME:
+    if time + pad <= MAX_HEADBLOCK_TIME:
         # Short sequences (the common ASR case): single-pass kernel over the
         # [B, T, H*hd] projection layout — no head transposes, full score tile
         # in VMEM. ~3x faster than the flash path at T=512, B=64 on v5e.

@@ -39,6 +39,11 @@ _LOG2E = np.float32(1.4426950408889634)
 # Full-tile VMEM use is ~(4 * T * D * 2 + 4 * T * T) bytes plus pipeline
 # buffers; 768 frames (~23 s audio) stays under the 16 MB budget at D=1024.
 MAX_ONESHOT_TIME = 768
+# Beyond that, a head-blocked variant (two heads per grid cell, so q/k/v tiles
+# are [T, 128] — still lane-aligned) holds one [T, T] f32 score tile at a time;
+# 1536 frames (~46 s audio) keeps it under budget.
+MAX_HEADBLOCK_TIME = 1536
+_HEADS_PER_BLOCK = 2
 
 
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
@@ -70,19 +75,35 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
     batch, time, model_dim = query.shape
     key_bias = key_bias[:, None, :]  # [B, 1, T]: blocks need >=2 trailing dims
     head_dim = model_dim // heads
-    kernel = functools.partial(
-        _attention_kernel, heads=heads, head_dim=head_dim, sm_scale=np.float32(sm_scale)
+    bias_spec = pl.BlockSpec(
+        (1, 1, time), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
     )
-    qkv_spec = pl.BlockSpec((1, time, model_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    if time <= MAX_ONESHOT_TIME:
+        heads_per_block = heads
+        grid: tuple = (batch,)
+        qkv_spec = pl.BlockSpec(
+            (1, time, model_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        # Long utterances: block the head dimension so one [T, T] score tile at
+        # a time fits in VMEM alongside narrow [T, hb*hd] q/k/v tiles.
+        heads_per_block = _HEADS_PER_BLOCK
+        grid = (batch, heads // heads_per_block)
+        qkv_spec = pl.BlockSpec(
+            (1, time, heads_per_block * head_dim),
+            lambda b, h: (b, 0, h),
+            memory_space=pltpu.VMEM,
+        )
+    kernel = functools.partial(
+        _attention_kernel,
+        heads=heads_per_block,
+        head_dim=head_dim,
+        sm_scale=np.float32(sm_scale),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(batch,),
-        in_specs=[
-            pl.BlockSpec((1, 1, time), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            qkv_spec,
-            qkv_spec,
-            qkv_spec,
-        ],
+        grid=grid,
+        in_specs=[bias_spec, qkv_spec, qkv_spec, qkv_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
         interpret=interpret,

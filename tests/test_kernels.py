@@ -267,3 +267,16 @@ class TestOneshotAttention:
         for g in grads:
             arr = np.asarray(g)
             assert np.isfinite(arr).all() and np.abs(arr).max() > 0
+
+    def test_headblocked_long_sequence_matches_reference(self):
+        # T > MAX_ONESHOT_TIME routes through the head-blocked grid.
+        from allophant_tpu.ops import oneshot_attention as osa
+
+        q, k, v, bias, mask, heads, head_dim = self._random_inputs(
+            batch=1, time=osa.MAX_ONESHOT_TIME + 128, heads=4, head_dim=16
+        )
+        scale = head_dim**-0.5
+        out = np.asarray(osa._oneshot_forward(q, k, v, bias, scale, heads, interpret=True))
+        expected = np.asarray(osa._reference_bthd(q, k, v, bias, scale, heads))
+        valid = np.broadcast_to(mask[:, :, None], out.shape)
+        np.testing.assert_allclose(out[valid], expected[valid], atol=2e-5)
