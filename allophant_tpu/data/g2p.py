@@ -292,24 +292,16 @@ class GraphemeToPhonemeEnsemble(PhonemeTranscriber):
 
 def _tone_backoff(lang_script_codes: List[str], tones: bool = False, cedict_file=None):
     """An ``epitran.Backoff`` whose per-language transliterators have tone
-    support enabled (the stock class never passes a tones flag through). The
-    instance is built uninitialized and given the same attribute set Backoff's
-    own constructor produces, with ``tones`` forwarded to each ``Epitran``."""
-    import panphon.featuretable  # type: ignore[import-not-found]
-    import regex  # type: ignore[import-not-found]
+    support enabled (the stock class never passes a tones flag through).
+    Initialized normally for forward compatibility with epitran internals, then
+    the transliterators are rebuilt with ``tones`` forwarded."""
     from epitran import Epitran
     from epitran.backoff import Backoff
-    from epitran.puncnorm import PuncNorm
-    from epitran.stripdiacritics import StripDiacritics
-    from epitran.xsampa import XSampa
 
-    backoff = Backoff.__new__(Backoff)
-    backoff.langs = [Epitran(code, cedict_file=cedict_file, tones=tones) for code in lang_script_codes]
-    backoff.num_re = regex.compile(r"\p{Number}+")
-    backoff.ft = panphon.featuretable.FeatureTable()
-    backoff.xsampa = XSampa()
-    backoff.puncnorm = PuncNorm()
-    backoff.dias = [StripDiacritics(code) for code in lang_script_codes]
+    backoff = Backoff(lang_script_codes, cedict_file=cedict_file)
+    backoff.langs = [
+        Epitran(code, cedict_file=cedict_file, tones=tones) for code in lang_script_codes
+    ]
     return backoff
 
 

@@ -413,11 +413,17 @@ class Wav2Vec2Model(nn.Module):
         frame_pad = (-true_frames) % 128
         if frame_pad:
             features = jnp.pad(features, ((0, 0), (0, frame_pad), (0, 0)))
-        pad_mask = (
-            masking.mask_sequence(frame_lengths, features.shape[1])
-            if arch.use_attention_mask or frame_pad
-            else None
-        )
+        if arch.use_attention_mask:
+            pad_mask = masking.mask_sequence(frame_lengths, features.shape[1])
+        elif frame_pad:
+            # No-attention-mask configs attend to sample-level padding (HF
+            # semantics); mask only the alignment pad added above.
+            pad_mask = jnp.broadcast_to(
+                jnp.arange(features.shape[1]) < true_frames,
+                (features.shape[0], features.shape[1]),
+            )
+        else:
+            pad_mask = None
 
         hidden = FeatureProjection(arch, self.dtype, name="feature_projection")(features, deterministic)
         hidden_states = Wav2Vec2Encoder(arch, self.dtype, self.remat, name="encoder")(

@@ -86,8 +86,9 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
         )
     else:
         # Long utterances: block the head dimension so one [T, T] score tile at
-        # a time fits in VMEM alongside narrow [T, hb*hd] q/k/v tiles.
-        heads_per_block = _HEADS_PER_BLOCK
+        # a time fits in VMEM alongside narrow [T, hb*hd] q/k/v tiles. An odd
+        # head count falls back to one head per cell (slower DMA, correct).
+        heads_per_block = _HEADS_PER_BLOCK if heads % _HEADS_PER_BLOCK == 0 else 1
         grid = (batch, heads // heads_per_block)
         qkv_spec = pl.BlockSpec(
             (1, time, heads_per_block * head_dim),
