@@ -29,7 +29,7 @@ def main() -> None:
     from allophant_tpu.demo import build_flagship
     from allophant_tpu.ops.decode import greedy_decode_padded
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
     samples = int(16_000 * seconds)
 
