@@ -214,6 +214,8 @@ def _filter_split_raw_batches_by_language(batch_generator, data, excluded_langua
 def predict(arguments: Namespace) -> None:
     """Batch inference -> JSONL predictions (reference run.py:571-822)."""
     _force_cpu(arguments)
+    import jax.numpy as jnp
+
     from allophant_tpu import predictions
     from allophant_tpu.config import BatchingMode, PhonemeLayerType, ProjectionEntryConfig
     from allophant_tpu.data import corpus_loading
@@ -382,22 +384,37 @@ def predict(arguments: Namespace) -> None:
             else:
                 model_outputs = inference_estimator.predict(batch)
 
-            outputs = {name: np.asarray(value) for name, value in model_outputs.outputs.items()}
+            # Outputs stay on device: transposes and greedy decodes are device
+            # ops, and async dispatch overlaps them across heads — only the
+            # decoded tokens are transferred (the reference ships full
+            # emission tensors to the host first, run.py:742-806).
+            outputs = dict(model_outputs.outputs)
             if map_allophones:
-                outputs[ProjectionEntryConfig.PHONEME_LAYER] = np.asarray(
-                    inference_estimator.map_allophones(
-                        outputs[ProjectionEntryConfig.PHONE], batch.language_ids
-                    )
+                outputs[ProjectionEntryConfig.PHONEME_LAYER] = inference_estimator.map_allophones(
+                    outputs[ProjectionEntryConfig.PHONE], batch.language_ids
                 )
             output_lengths = np.asarray(model_outputs.lengths)
 
             batch_size_now = len(batch)
-            prediction_batches: Dict[str, List[List[List[str]]]] = {}
+            # Phase 1: dispatch every head's decode without synchronizing.
+            dispatched = {}
             for name, decoder in ctc_decoders.items():
                 # Estimator outputs are time-first; decoders are batch-first
                 # (reference run.py:742-806 transposes before decoding).
-                emissions = np.ascontiguousarray(np.transpose(outputs[name], (1, 0, 2)))
-                beam_results = decoder(emissions[:batch_size_now], output_lengths[:batch_size_now])
+                emissions = jnp.transpose(jnp.asarray(outputs[name]), (1, 0, 2))[:batch_size_now]
+                if hasattr(decoder, "dispatch"):
+                    dispatched[name] = decoder.dispatch(emissions, output_lengths[:batch_size_now])
+                else:
+                    # Host beam search consumes numpy emissions directly.
+                    dispatched[name] = decoder(np.asarray(emissions), output_lengths[:batch_size_now])
+
+            # Phase 2: transfer the (small) token results per head.
+            prediction_batches: Dict[str, List[List[List[str]]]] = {}
+            for name, decoder in ctc_decoders.items():
+                if hasattr(decoder, "dispatch"):
+                    beam_results = decoder.collect(dispatched[name])
+                else:
+                    beam_results = dispatched[name]
                 is_ipa_layer = name in ipa_layers
                 prediction_batch = []
                 for result in range(len(beam_results)):

@@ -66,11 +66,21 @@ class GreedyCTCDecoder:
         self._blank_index = blank_index
 
     def __call__(self, log_emissions, lengths) -> List[List[CTCHypothesis]]:
+        return self.collect(self.dispatch(log_emissions, lengths))
+
+    def dispatch(self, log_emissions, lengths):
+        """Launches the device decode without synchronizing; callers can dispatch
+        several heads back-to-back (async dispatch pipelines them) and only then
+        ``collect`` — one host round trip per wave instead of per head."""
         log_emissions = jnp.asarray(log_emissions)
         lengths = jnp.asarray(lengths)
-        tokens, timesteps, counts, scores = greedy_decode_padded(
-            log_emissions, lengths, self._blank_index
-        )
+        return greedy_decode_padded(log_emissions, lengths, self._blank_index)
+
+    @staticmethod
+    def collect(dispatched) -> List[List[CTCHypothesis]]:
+        """Transfers a dispatched decode's (small) token results and builds the
+        per-utterance hypothesis lists."""
+        tokens, timesteps, counts, scores = dispatched
         tokens = np.asarray(tokens)
         timesteps = np.asarray(timesteps)
         counts = np.asarray(counts)
