@@ -405,8 +405,9 @@ def predict(arguments: Namespace) -> None:
                 if hasattr(decoder, "dispatch"):
                     dispatched[name] = decoder.dispatch(emissions, output_lengths[:batch_size_now])
                 else:
-                    # Host beam search consumes numpy emissions directly.
-                    dispatched[name] = decoder(np.asarray(emissions), output_lengths[:batch_size_now])
+                    # Beam decoders normalize their own inputs (device beam
+                    # scores on device; host beam pulls to numpy itself).
+                    dispatched[name] = decoder(emissions, output_lengths[:batch_size_now])
 
             # Phase 2: transfer the (small) token results per head.
             prediction_batches: Dict[str, List[List[List[str]]]] = {}
