@@ -95,13 +95,12 @@ def load_audio(path: str, resample_to: Optional[int] = None) -> Tuple[np.ndarray
 
 
 def _load_mp3(path: str) -> Tuple[np.ndarray, int]:
-    """MP3 decoding requires an external decoder; none is bundled in this
-    environment. Preprocessed deployments should convert clips to WAV (see
-    ``allophant-data preprocess``)."""
-    raise NotImplementedError(
-        "MP3 decoding requires ffmpeg or an audio decoding library, neither of which is"
-        f" available in this environment (file: {path!r}). Convert clips to WAV first."
-    )
+    """Decodes MP3 via the system libmpg123 (ctypes binding,
+    ``native/audio_codecs.py``) — the native path Common Voice clips take
+    (reference: torchaudio.load, speech_corpus.py:178-181)."""
+    from allophant_tpu.native.audio_codecs import decode_mp3
+
+    return decode_mp3(path)
 
 
 _RESAMPLE_KERNEL_CACHE: dict = {}

@@ -315,3 +315,59 @@ class TestCommonVoicePersistence:
         splits = load_corpus(ucla_dir, "ucla-phonetic", resample=16000)
         assert len(splits.test) == 4
         assert len(splits.train) == 0
+
+
+class TestMp3Codecs:
+    """Native MP3 decode via libmpg123 (Common Voice clips are MP3; the
+    reference goes through torchaudio's C++ backends)."""
+
+    @pytest.fixture
+    def codecs(self):
+        from allophant_tpu.native import audio_codecs
+
+        if not (audio_codecs.MPG123_AVAILABLE and audio_codecs.LAME_AVAILABLE):
+            pytest.skip("system mpg123/lame libraries unavailable")
+        return audio_codecs
+
+    def test_round_trip_sine(self, codecs, tmp_path):
+        rate = 16_000
+        t = np.arange(rate) / rate
+        sine = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = str(tmp_path / "tone.mp3")
+        codecs.encode_mp3(path, sine, rate)
+        audio, decoded_rate = codecs.decode_mp3(path)
+        assert decoded_rate == rate
+        assert audio.shape[0] == 1 and np.isfinite(audio).all()
+        # Correlate against the original allowing for codec delay.
+        window = len(sine) - 2000
+        best = max(
+            float(np.corrcoef(sine[:window], audio[0, shift : shift + window])[0, 1])
+            for shift in range(0, 2000)
+        )
+        assert best > 0.99
+
+    def test_load_audio_dispatches_mp3(self, codecs, tmp_path):
+        from allophant_tpu.data.audio import load_audio
+
+        rate = 22_050
+        noise = (np.random.default_rng(0).uniform(-0.3, 0.3, rate)).astype(np.float32)
+        path = str(tmp_path / "clip.mp3")
+        codecs.encode_mp3(path, noise, rate)
+        audio, original_rate = load_audio(path, resample_to=16_000)
+        assert original_rate == rate
+        # ~1 s of 22.05 kHz audio resampled to 16 kHz (plus codec delay).
+        assert audio.ndim == 2 and 15_000 < audio.shape[1] < 18_000
+
+    def test_stereo_decode(self, codecs, tmp_path):
+        rate = 16_000
+        t = np.arange(rate) / rate
+        left = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        right = (0.4 * np.sin(2 * np.pi * 600 * t)).astype(np.float32)
+        path = str(tmp_path / "stereo.mp3")
+        codecs.encode_mp3(path, np.stack((left, right)), rate)
+        audio, _ = codecs.decode_mp3(path)
+        assert audio.shape[0] == 2
+
+    def test_missing_file_raises(self, codecs):
+        with pytest.raises(FileNotFoundError):
+            codecs.decode_mp3("/nonexistent/file.mp3")
