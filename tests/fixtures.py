@@ -165,8 +165,12 @@ def mini_config_dict(
     }
 
 
-def build_cv_corpus(root: str, utterances_per_split=((("train", 3), ("dev", 2), ("test", 1)))) -> None:
-    """Writes a tiny Common Voice-format corpus (msgpack + wav clips) under root."""
+def build_cv_corpus(
+    root: str,
+    utterances_per_split=((("train", 3), ("dev", 2), ("test", 1))),
+    audio_format: str = "wav",
+) -> None:
+    """Writes a tiny Common Voice-format corpus (msgpack + wav or mp3 clips)."""
     import os
     import wave
 
@@ -197,16 +201,21 @@ def build_cv_corpus(root: str, utterances_per_split=((("train", 3), ("dev", 2), 
                 clips = os.path.join(root, language, "clips")
                 os.makedirs(clips, exist_ok=True)
                 samples = rng.uniform(-0.3, 0.3, 1600 + 160 * index).astype(np.float32)
-                data = (np.clip(samples, -1, 1) * 32767).astype("<i2")
-                with wave.open(os.path.join(clips, f"{utterance}.wav"), "wb") as file:
-                    file.setnchannels(1)
-                    file.setsampwidth(2)
-                    file.setframerate(16000)
-                    file.writeframes(data.tobytes())
+                if audio_format == "mp3":
+                    from allophant_tpu.native.audio_codecs import encode_mp3
+
+                    encode_mp3(os.path.join(clips, f"{utterance}.mp3"), samples, 16000)
+                else:
+                    data = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+                    with wave.open(os.path.join(clips, f"{utterance}.wav"), "wb") as file:
+                        file.setnchannels(1)
+                        file.setsampwidth(2)
+                        file.setframerate(16000)
+                        file.writeframes(data.tobytes())
             languages.append(
                 LanguageData(LanguageInfo(language, sorted(phonemes), [{}]), transcriptions)
             )
         corpus = CommonVoiceCorpus(
-            root, languages, CommonVoiceCorpusMeta("cv-mini", audio_format="wav")
+            root, languages, CommonVoiceCorpusMeta("cv-mini", audio_format=audio_format)
         )
         corpus.save(root, split)

@@ -371,3 +371,20 @@ class TestMp3Codecs:
     def test_missing_file_raises(self, codecs):
         with pytest.raises(FileNotFoundError):
             codecs.decode_mp3("/nonexistent/file.mp3")
+
+    def test_common_voice_pipeline_with_mp3_clips(self, codecs, tmp_path):
+        """Full CV batch pipeline over MP3 clips (real Common Voice releases
+        ship MP3; reference loads them via torchaudio)."""
+        from allophant_tpu.data.corpus_loading import load_corpus
+
+        from fixtures import build_cv_corpus
+
+        root = str(tmp_path / "cv")
+        import os
+
+        os.makedirs(root)
+        build_cv_corpus(root, audio_format="mp3")
+        splits = load_corpus(root, "common-voice", resample=16_000)
+        corpus = splits.train
+        audio, rate = corpus.audio(0)
+        assert rate == 16_000 and audio.shape[-1] > 500
