@@ -12,12 +12,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _tiny_hf_model(do_stable_layer_norm: bool, feat_extract_norm: str):
+def _tiny_hf_model(do_stable_layer_norm: bool, feat_extract_norm: str, **overrides):
     import torch
     from transformers import Wav2Vec2Config
     from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as TorchWav2Vec2
 
-    config = Wav2Vec2Config(
+    settings = dict(
         vocab_size=32,
         hidden_size=32,
         num_hidden_layers=2,
@@ -39,32 +39,53 @@ def _tiny_hf_model(do_stable_layer_norm: bool, feat_extract_norm: str):
         apply_spec_augment=False,
         attn_implementation="eager",
     )
+    settings.update(overrides)
+    config = Wav2Vec2Config(**settings)
     torch.manual_seed(0)
     model = TorchWav2Vec2(config)
     model.eval()
     return config, model
 
 
-@pytest.mark.parametrize(
-    "stable,norm_mode",
-    [(True, "layer"), (False, "group")],
-    ids=["xlsr-stable-layernorm", "base-postln-groupnorm"],
+_MEDIUM_DIMS = dict(
+    hidden_size=128,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=256,
+    conv_dim=(32, 48, 48),
+    conv_kernel=(6, 3, 3),
+    conv_stride=(3, 2, 2),
+    num_conv_pos_embeddings=32,
+    num_conv_pos_embedding_groups=8,
 )
-def test_hidden_state_parity(stable, norm_mode):
+
+
+@pytest.mark.parametrize(
+    "stable,norm_mode,overrides",
+    [
+        (True, "layer", {}),
+        (False, "group", {}),
+        # Larger dims catch dimension-dependent conversion/layout bugs the
+        # 32-dim config cannot (head_dim 32, 3-layer conv stack, wider FFN).
+        (True, "layer", _MEDIUM_DIMS),
+    ],
+    ids=["xlsr-stable-layernorm", "base-postln-groupnorm", "xlsr-medium-dims"],
+)
+def test_hidden_state_parity(stable, norm_mode, overrides):
     import torch
 
     from allophant_tpu.models.hf_conversion import convert_wav2vec2_state
     from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture, Wav2Vec2Model
 
-    config, torch_model = _tiny_hf_model(stable, norm_mode)
+    config, torch_model = _tiny_hf_model(stable, norm_mode, **overrides)
     arch = Wav2Vec2Architecture.from_hf_config(config)
     # HF models don't normalize inputs (the processor does); disable for parity.
     arch = arch.__class__(**{**arch.__dict__, "do_normalize": False})
 
     rng = np.random.default_rng(1)
-    batch, max_samples = 3, 400
+    batch, max_samples = 3, 400 if not overrides else 1200
     audio = rng.standard_normal((batch, max_samples)).astype(np.float32)
-    lengths = np.array([400, 320, 250])
+    lengths = np.array([400, 320, 250]) * (1 if not overrides else 3)
     # Zero padding beyond lengths, as the batcher produces.
     for row, length in enumerate(lengths):
         audio[row, length:] = 0.0
