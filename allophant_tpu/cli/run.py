@@ -717,6 +717,12 @@ def make_parser() -> ArgumentParser:
 
 
 def main(args: Sequence[str] | None = None) -> None:
+    # Persistent XLA compilation cache: the flagship training step takes
+    # minutes to compile cold; cached recompiles are near-instant. Honors an
+    # existing JAX_COMPILATION_CACHE_DIR / explicit jax.config setting.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "allophant_tpu_xla")
+    )
     if args is None:
         args = sys.argv[1:]
     arguments = make_parser().parse_args(args)
