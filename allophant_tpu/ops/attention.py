@@ -55,7 +55,11 @@ def fused_attention(
     if not _flash_available():
         return reference_attention(query, key, value, pad_mask, sm_scale)
 
-    from allophant_tpu.ops.oneshot_attention import MAX_HEADBLOCK_TIME, oneshot_attention
+    from allophant_tpu.ops.oneshot_attention import (
+        MAX_HEADBLOCK_TIME,
+        NEG_INF,
+        oneshot_attention,
+    )
 
     pad = _pad_to_block(time)
     if time + pad <= MAX_HEADBLOCK_TIME:
@@ -69,13 +73,13 @@ def fused_attention(
         if pad_mask is None:
             bias = jnp.zeros((batch, time), jnp.float32)
         else:
-            bias = jnp.where(pad_mask, 0.0, -1e9).astype(jnp.float32)
+            bias = jnp.where(pad_mask, 0.0, NEG_INF).astype(jnp.float32)
         if pad:
             widths = ((0, 0), (0, pad), (0, 0))
             q = jnp.pad(q, widths)
             k = jnp.pad(k, widths)
             v = jnp.pad(v, widths)
-            bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=-1e9)
+            bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
         out = oneshot_attention(q, k, v, bias, sm_scale, heads)
         if pad:
             out = out[:, :time]

@@ -3,9 +3,11 @@
 ASR utterances are short: 10 s of 16 kHz audio is ~500 wav2vec2 frames, so a
 full [T, T] f32 score tile fits comfortably in VMEM and the online-softmax
 machinery of flash attention (running max/sum, rescaling across key blocks) is
-pure overhead. This kernel computes attention in one pass per (batch, head):
+pure overhead. This kernel computes attention in one pass per batch element
+(grid (B,) with all heads per cell up to ``MAX_ONESHOT_TIME`` frames; a
+head-blocked grid (B, H/2) up to ``MAX_HEADBLOCK_TIME``):
 
-    grid = (B,); each cell loops over the H heads of one utterance:
+    each cell loops over its heads:
         scores = q_h @ k_h^T * scale + key_bias     (MXU, f32 accumulate)
         p      = softmax(scores)                    (VPU, full [T, T] tile)
         out_h  = p @ v_h                            (MXU)
@@ -47,7 +49,9 @@ _HEADS_PER_BLOCK = 2
 
 
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
-    bias = bias_ref[0]  # [1, T] f32, broadcasts over query rows
+    # Softmax runs in base 2: folding log2(e) into the scale and bias makes the
+    # exp an exp2, which is cheaper on the VPU and bit-equivalent in f32.
+    bias = bias_ref[0] * _LOG2E  # [1, T] f32, broadcasts over query rows
     for head in range(heads):
         lo = head * head_dim
         hi = lo + head_dim
@@ -57,9 +61,7 @@ def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # Softmax in base 2: folding log2(e) into the scale makes the exp an
-        # exp2, which is cheaper on the VPU and bit-equivalent in f32.
-        scores = scores * (sm_scale * _LOG2E) + bias * _LOG2E
+        scores = scores * (sm_scale * _LOG2E) + bias
         peak = jnp.max(scores, axis=-1, keepdims=True)
         exps = jnp.exp2(scores - peak)
         total = jnp.sum(exps, axis=-1, keepdims=True)
