@@ -173,3 +173,76 @@ class TestPropertyWeighting:
         stats = weighting.levensthein_statistics(["w", "x"], ["w", "y"])
         assert stats.substitutions == 1
         assert stats.correct == 1
+
+
+import numpy as np
+
+
+class TestNativePythonEquivalence:
+    """Property tests: the C++ core and the pure-Python fallback must agree on
+    random inputs (the fallback silently takes over when the toolchain is
+    missing, so divergence would corrupt evaluation numbers undetected)."""
+
+    def test_levenshtein_random_equivalence(self):
+        import allophant_tpu.phonemes as ph
+
+        if not ph.NATIVE_AVAILABLE:
+            pytest.skip("native core unavailable")
+        rng = np.random.default_rng(42)
+        alphabet = list("abcdefg")
+        for _ in range(200):
+            a = rng.choice(alphabet, size=rng.integers(0, 12)).tolist()
+            b = rng.choice(alphabet, size=rng.integers(0, 12)).tolist()
+            native = ph.levensthein(a, b)
+            python = ph._python_distance(*ph._intern_ids(a, b))
+            assert native == python, (a, b)
+
+    def test_statistics_random_equivalence(self):
+        import allophant_tpu.phonemes as ph
+
+        if not ph.NATIVE_AVAILABLE:
+            pytest.skip("native core unavailable")
+        rng = np.random.default_rng(7)
+        alphabet = list("abcd")
+        for _ in range(100):
+            a = rng.choice(alphabet, size=rng.integers(0, 10)).tolist()
+            b = rng.choice(alphabet, size=rng.integers(0, 10)).tolist()
+            stats = ph.levensthein_statistics(a, b)
+            # I/D/S/C counts must be internally consistent with the distance
+            # and the sequence lengths.
+            assert stats.substitutions + stats.deletions + stats.correct == len(a)
+            assert stats.substitutions + stats.insertions + stats.correct == len(b)
+            assert (
+                stats.substitutions + stats.deletions + stats.insertions
+                == ph.levensthein(a, b)
+            )
+
+    def test_segmenter_matches_bruteforce(self):
+        import allophant_tpu.phonemes as ph
+
+        if not ph.NATIVE_AVAILABLE:
+            pytest.skip("native core unavailable")
+
+        def brute_force(text, patterns):
+            # Greedy leftmost-longest reference implementation.
+            out, pos = [], 0
+            while pos < len(text):
+                best = None
+                for pattern in patterns:
+                    if text.startswith(pattern, pos) and (
+                        best is None or len(pattern) > len(best)
+                    ):
+                        best = pattern
+                if best is None:
+                    pos += 1  # silent skip
+                else:
+                    out.append(best)
+                    pos += len(best)
+            return out
+
+        rng = np.random.default_rng(3)
+        symbols = ["a", "b", "ab", "ba", "aab", "c", "cc"]
+        segmenter = ph.IpaSegmenter(symbols)
+        for _ in range(200):
+            text = "".join(rng.choice(list("abc"), size=rng.integers(0, 15)))
+            assert segmenter.segment(text) == brute_force(text, symbols), text
