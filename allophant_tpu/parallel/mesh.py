@@ -45,9 +45,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_pytree(tree, mesh: Mesh):
-    """Places every array in a batch pytree with its leading axis sharded on data."""
+    """Places every array in a batch pytree with its leading axis sharded on data.
+
+    Single-process: a plain sharded ``device_put``. Multi-host (``jax.process_count()
+    > 1``): each process passes its *local* slice of the global batch (local batch =
+    global batch / process count, produced by a sampler restricted with
+    :func:`process_local_slice`); ``jax.make_array_from_process_local_data``
+    assembles the distributed array without any cross-host gather."""
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda array: jax.device_put(array, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda array: jax.device_put(array, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda array: jax.make_array_from_process_local_data(sharding, np.asarray(array)), tree
+    )
+
+
+def process_local_slice(global_batch_size: int) -> slice:
+    """This process's contiguous share of a global batch (multi-host data loading:
+    every host reads only its own slice; reference has no distributed loading)."""
+    count = jax.process_count()
+    if global_batch_size % count:
+        raise ValueError(
+            f"Global batch size {global_batch_size} is not divisible by {count} processes"
+        )
+    local = global_batch_size // count
+    start = jax.process_index() * local
+    return slice(start, start + local)
 
 
 def replicate_pytree(tree, mesh: Mesh):

@@ -116,3 +116,26 @@ class TestDataParallelInference:
                 np.asarray(single.outputs[name]), np.asarray(sharded.outputs[name]),
                 atol=1e-5, rtol=1e-5,
             )
+
+
+class TestBatchSharding:
+    def test_shard_batch_pytree_matches_device_put(self):
+        from allophant_tpu.parallel.mesh import batch_sharding, create_mesh, shard_batch_pytree
+
+        mesh = create_mesh(jax.devices()[:8], model_parallel=1)
+        tree = {
+            "audio": np.random.default_rng(0).standard_normal((8, 100)).astype(np.float32),
+            "lengths": np.full(8, 100, dtype=np.int32),
+        }
+        sharded = shard_batch_pytree(tree, mesh)
+        for name, original in tree.items():
+            placed = sharded[name]
+            assert placed.sharding == batch_sharding(mesh)
+            np.testing.assert_array_equal(np.asarray(placed), original)
+
+    def test_process_local_slice_single_process(self):
+        from allophant_tpu.parallel.mesh import process_local_slice
+
+        # With one process every size divides and the slice covers everything.
+        assert process_local_slice(16) == slice(0, 16)
+        assert process_local_slice(7) == slice(0, 7)
