@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Parity validation harness against the PyTorch reference.
+
+The rebuild's fidelity target is PER/AER within 0.1% absolute of the published
+numbers for the five released checkpoints (BASELINE.md). The released HF
+checkpoints and the UCLA / Common Voice corpora are not available in the
+build environment, so this tool packages each parity check as a one-command
+step for when the artifacts are present:
+
+  activations <hf-wav2vec2-id-or-path>
+      Convert the HF torch wav2vec2 encoder and diff every hidden state on
+      random audio (the per-layer activation diffing of SURVEY.md §7.3).
+
+  checkpoint <allophant.pt-or-hf-id>
+      Restore a released reference checkpoint (torch format) end-to-end into
+      the JAX model, print the head inventory, and run a smoke forward.
+
+  error-rates <predictions.jsonl> <reference_results.json> [--tolerance 0.1]
+      Evaluate a prediction file with the batched device scorer, compute the
+      macro PER/AER (the README math), and compare them to a reference
+      results JSON (e.g. interspeech_results/allophant_ucla.json); exits
+      non-zero when any shared metric differs by more than the tolerance (in
+      absolute percentage points).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def check_activations(model_id: str, seconds: float = 2.0, tolerance: float = 2e-3) -> int:
+    import jax.numpy as jnp
+    import torch
+    from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as TorchWav2Vec2
+
+    from allophant_tpu.models.hf_conversion import convert_wav2vec2_state
+    from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture, Wav2Vec2Model
+
+    torch_model = TorchWav2Vec2.from_pretrained(model_id, attn_implementation="eager")
+    torch_model.eval()
+    config = torch_model.config
+    arch = Wav2Vec2Architecture.from_hf_config(config)
+    arch = Wav2Vec2Architecture(**{**arch.__dict__, "do_normalize": False})
+
+    rng = np.random.default_rng(0)
+    samples = int(16_000 * seconds)
+    audio = rng.standard_normal((2, samples)).astype(np.float32)
+    lengths = np.array([samples, samples * 3 // 4])
+    for row, length in enumerate(lengths):
+        audio[row, length:] = 0.0
+    attention_mask = (np.arange(samples)[None, :] < lengths[:, None]).astype(np.int64)
+
+    with torch.no_grad():
+        torch_output = torch_model(
+            torch.from_numpy(audio),
+            attention_mask=torch.from_numpy(attention_mask),
+            output_hidden_states=True,
+        )
+    torch_hidden = [state.numpy() for state in torch_output.hidden_states]
+
+    state = {key: value.numpy() for key, value in torch_model.state_dict().items()}
+    params = convert_wav2vec2_state(state, arch)
+    hidden_states, frame_lengths = Wav2Vec2Model(arch).apply(
+        {"params": params}, jnp.asarray(audio), jnp.asarray(lengths), deterministic=True
+    )
+
+    frame_lengths = np.asarray(frame_lengths)
+    frame_mask = np.arange(torch_hidden[0].shape[1])[None, :] < frame_lengths[:, None]
+    worst = 0.0
+    for layer_id, (ours, theirs) in enumerate(zip(hidden_states, torch_hidden)):
+        difference = float(np.abs(np.asarray(ours) - theirs)[frame_mask].max())
+        worst = max(worst, difference)
+        print(f"layer {layer_id:2d}: max |diff| {difference:.3e}")
+    print(f"worst layer diff: {worst:.3e} (tolerance {tolerance:.0e})")
+    return 0 if worst <= tolerance else 1
+
+
+def check_checkpoint(path: str) -> int:
+    import jax
+
+    from allophant_tpu.data.batch import Batch
+    from allophant_tpu.training import Estimator
+
+    estimator, indexer = Estimator.restore(path)
+    print(f"classes ({len(estimator.classes)}): {', '.join(estimator.classes)}")
+    print(f"phoneme inventory size: {len(indexer.phonemes)}")
+    leaves = jax.tree_util.tree_leaves(estimator.variables["params"])
+    print(f"parameters: {sum(int(np.prod(leaf.shape)) for leaf in leaves):,}")
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((1, 16_000)).astype(np.float32)
+    predictions = estimator.predict(Batch(audio, np.array([16_000]), 0))
+    for name, value in list(predictions.outputs.items())[:3]:
+        print(f"output {name}: {tuple(value.shape)}")
+    print("smoke forward OK")
+    return 0
+
+
+def check_error_rates(predictions_path: str, reference_path: str, tolerance: float) -> int:
+    from allophant_tpu.evaluation import MultilingualEvaluationResults, macro_average_error_rates
+    from allophant_tpu.evaluation_runner import compute_edit_statistics, summarize_edit_statistics
+    from allophant_tpu.predictions import PredictionReader
+
+    with PredictionReader(predictions_path) as reader:
+        statistics = compute_edit_statistics(reader, map_phonemes=True)
+        ours = summarize_edit_statistics(statistics, reader.metadata.classifiers)
+    our_macro = macro_average_error_rates(ours)
+
+    reference = MultilingualEvaluationResults.load(reference_path)
+    reference_macro = macro_average_error_rates(reference)
+
+    shared = sorted(set(our_macro) & set(reference_macro))
+    if not shared:
+        print("no shared metrics between the two result sets", file=sys.stderr)
+        return 2
+    failed = False
+    for name in shared:
+        difference = abs(our_macro[name] - reference_macro[name]) * 100.0
+        status = "OK" if difference <= tolerance else "FAIL"
+        if status == "FAIL":
+            failed = True
+        print(
+            f"{name}: ours {our_macro[name] * 100.0:.2f}%"
+            f" reference {reference_macro[name] * 100.0:.2f}%"
+            f" |d| {difference:.3f}pp {status}"
+        )
+    return 1 if failed else 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    commands = parser.add_subparsers(dest="command", required=True)
+
+    activations = commands.add_parser("activations")
+    activations.add_argument("model_id")
+    activations.add_argument("--seconds", type=float, default=2.0)
+    activations.add_argument("--tolerance", type=float, default=2e-3)
+
+    checkpoint = commands.add_parser("checkpoint")
+    checkpoint.add_argument("path")
+
+    rates = commands.add_parser("error-rates")
+    rates.add_argument("predictions")
+    rates.add_argument("reference")
+    rates.add_argument("--tolerance", type=float, default=0.1, help="percentage points")
+
+    arguments = parser.parse_args(argv)
+    if arguments.command == "activations":
+        return check_activations(arguments.model_id, arguments.seconds, arguments.tolerance)
+    if arguments.command == "checkpoint":
+        return check_checkpoint(arguments.path)
+    return check_error_rates(arguments.predictions, arguments.reference, arguments.tolerance)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
