@@ -6,7 +6,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -84,7 +83,6 @@ class TestActivationsCommand:
         # one encoder weight beyond tolerance.
         with torch.no_grad():
             model.encoder.layers[0].feed_forward.output_dense.weight.add_(0.5)
-            saved = model.state_dict()
         model_dir = str(tmp_path / "hf_model")
         model.save_pretrained(model_dir)
 
@@ -142,8 +140,6 @@ class TestErrorRatesCommand:
             MultilingualEvaluationResults,
         )
         from allophant_tpu.phonemes import EditStatistics
-
-        import parity_check
 
         stats = EditStatistics(1, 2, 3, 14)
         results = MultilingualEvaluationResults(
