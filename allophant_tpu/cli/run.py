@@ -396,26 +396,20 @@ def predict(arguments: Namespace) -> None:
             output_lengths = np.asarray(model_outputs.lengths)
 
             batch_size_now = len(batch)
-            # Phase 1: dispatch every head's decode without synchronizing.
+            # Phase 1: dispatch every head's decode. Greedy decodes launch
+            # without synchronizing (async dispatch overlaps them); beam
+            # decoders synchronize here and make collect the identity.
             dispatched = {}
             for name, decoder in ctc_decoders.items():
                 # Estimator outputs are time-first; decoders are batch-first
                 # (reference run.py:742-806 transposes before decoding).
                 emissions = jnp.transpose(jnp.asarray(outputs[name]), (1, 0, 2))[:batch_size_now]
-                if hasattr(decoder, "dispatch"):
-                    dispatched[name] = decoder.dispatch(emissions, output_lengths[:batch_size_now])
-                else:
-                    # Beam decoders normalize their own inputs (device beam
-                    # scores on device; host beam pulls to numpy itself).
-                    dispatched[name] = decoder(emissions, output_lengths[:batch_size_now])
+                dispatched[name] = decoder.dispatch(emissions, output_lengths[:batch_size_now])
 
             # Phase 2: transfer the (small) token results per head.
             prediction_batches: Dict[str, List[List[List[str]]]] = {}
             for name, decoder in ctc_decoders.items():
-                if hasattr(decoder, "dispatch"):
-                    beam_results = decoder.collect(dispatched[name])
-                else:
-                    beam_results = dispatched[name]
+                beam_results = decoder.collect(dispatched[name])
                 is_ipa_layer = name in ipa_layers
                 prediction_batch = []
                 for result in range(len(beam_results)):

@@ -124,10 +124,31 @@ def decode_mp3(path: str) -> Tuple[np.ndarray, int]:
         while True:
             status = _mpg123.mpg123_read(handle, buffer, len(buffer), ctypes.byref(done))
             if done.value:
-                chunks.append(np.frombuffer(buffer.raw[: done.value], dtype=sample_dtype).copy())
+                # buffer.raw[:n] already materializes fresh bytes; frombuffer
+                # over them needs no further copy.
+                chunks.append(np.frombuffer(buffer.raw[: done.value], dtype=sample_dtype))
             if status == _MPG123_DONE:
                 break
-            if status not in (_MPG123_OK, _MPG123_NEW_FORMAT):
+            if status == _MPG123_NEW_FORMAT:
+                # A mid-stream rate/channel change would silently corrupt the
+                # interleaving math below; reject rather than mis-decode.
+                new_rate = ctypes.c_long(0)
+                new_channels = ctypes.c_int(0)
+                new_encoding = ctypes.c_int(0)
+                _mpg123.mpg123_getformat(
+                    handle, ctypes.byref(new_rate), ctypes.byref(new_channels), ctypes.byref(new_encoding)
+                )
+                if (new_rate.value, new_channels.value, new_encoding.value) != (
+                    rate.value,
+                    channels.value,
+                    encoding.value,
+                ):
+                    raise RuntimeError(
+                        f"MP3 stream format changes mid-file in {path!r}"
+                        f" ({rate.value} Hz x{channels.value} ->"
+                        f" {new_rate.value} Hz x{new_channels.value}); re-encode the clip"
+                    )
+            elif status != _MPG123_OK:
                 raise RuntimeError(
                     f"mpg123_read failed for {path!r}:"
                     f" {_mpg123.mpg123_plain_strerror(status).decode()}"

@@ -188,6 +188,16 @@ class BeamCTCDecoder:
             outputs.append(self._decode_single(log_emissions[row, :length]))
         return outputs
 
+    # Same two-phase contract as GreedyCTCDecoder so callers can treat all
+    # decoders uniformly; beam search synchronizes in dispatch, so collect is
+    # the identity.
+    def dispatch(self, log_emissions, lengths=None):
+        return self(log_emissions, lengths)
+
+    @staticmethod
+    def collect(dispatched):
+        return dispatched
+
 
 # ---------------------------------------------------------------------------
 # Vectorized device beam search
@@ -403,3 +413,12 @@ class DeviceBeamCTCDecoder:
                 )
             outputs.append(hypotheses)
         return outputs
+
+    # Uniform two-phase contract (see GreedyCTCDecoder); device scoring plus
+    # host backtrace run in dispatch, so collect is the identity.
+    def dispatch(self, log_emissions, lengths=None):
+        return self(log_emissions, lengths)
+
+    @staticmethod
+    def collect(dispatched):
+        return dispatched

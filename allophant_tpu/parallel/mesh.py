@@ -60,9 +60,31 @@ def shard_batch_pytree(tree, mesh: Mesh):
     )
 
 
+def microbatch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for stacked microbatches [accumulation, batch, ...]: the batch
+    axis (axis 1) is sharded on data, the accumulation axis is replicated."""
+    return NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
+
+
+def shard_microbatch_pytree(tree, mesh: Mesh):
+    """Places stacked-microbatch arrays ([A, B, ...] leaves) with the batch axis
+    sharded on data; multi-host processes pass their local slice of B (see
+    :func:`shard_batch_pytree`)."""
+    sharding = microbatch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda array: jax.device_put(array, sharding), tree)
+    return jax.tree_util.tree_map(
+        lambda array: jax.make_array_from_process_local_data(sharding, np.asarray(array)), tree
+    )
+
+
 def process_local_slice(global_batch_size: int) -> slice:
     """This process's contiguous share of a global batch (multi-host data loading:
-    every host reads only its own slice; reference has no distributed loading)."""
+    every host reads only its own slice; reference has no distributed loading).
+
+    For data-parallel batches only the *partition* matters, not which rows land
+    on which device: every example appears exactly once globally, and gradient
+    psums are order-invariant."""
     count = jax.process_count()
     if global_batch_size % count:
         raise ValueError(

@@ -445,6 +445,16 @@ class TrainingRun:
         self._optimizer = create_optimizer(architecture, d_model)
         loss_plan = build_loss_plan(architecture, model.plan.allophone_shape is not None)
         freeze_plan = build_freeze_plan(architecture.acoustic_model)
+        # Data-parallel training over every visible chip: microbatches are
+        # sharded on their batch axis over a 1-D "data" mesh (process-local
+        # data on multi-host topologies) and XLA inserts the gradient psums.
+        # Falls back to single-device execution when the per-step batch size
+        # does not divide the device count.
+        self._mesh = None
+        if jax.device_count() > 1 and architecture.batch_size % jax.device_count() == 0:
+            from allophant_tpu.parallel.mesh import create_mesh
+
+            self._mesh = create_mesh(model_parallel=1)
         self._train_step = jax.jit(
             make_train_step(model, self._optimizer, loss_plan, freeze_plan), donate_argnums=(0, 1)
         )
@@ -482,6 +492,12 @@ class TrainingRun:
         opt_state = self.optimizer_state
         if opt_state is None:
             opt_state = self._optimizer.init(params)
+        if self._mesh is not None:
+            from allophant_tpu.parallel.mesh import replicate_pytree
+
+            params = replicate_pytree(params, self._mesh)
+            opt_state = replicate_pytree(opt_state, self._mesh)
+            other_variables = replicate_pytree(other_variables, self._mesh)
         rng = jax.random.PRNGKey(architecture.seed or 0)
         step_size = architecture.step_size
         maximum_iterations = architecture.maximum_iterations
@@ -508,6 +524,10 @@ class TrainingRun:
                 )
                 for group in groups:
                     microbatches = stack_microbatches(group)
+                    if self._mesh is not None:
+                        from allophant_tpu.parallel.mesh import shard_microbatch_pytree
+
+                        microbatches = shard_microbatch_pytree(microbatches, self._mesh)
                     rng, step_rng = jax.random.split(rng)
                     params, opt_state, metrics = self._train_step(
                         params,

@@ -103,3 +103,31 @@ def test_step_profiler_writes_trace(tmp_path):
     for root, _dirs, files in os.walk(trace_dir):
         contents.extend(files)
     assert contents  # trace events written
+
+
+def test_train_cli_data_parallel_over_virtual_mesh(tmp_path):
+    """With batch_size divisible by the (virtual 8-device) mesh, the training
+    loop shards microbatches over the data axis and still produces a loadable
+    checkpoint."""
+    corpus_root = str(tmp_path / "cv")
+    os.makedirs(corpus_root)
+    build_cv_corpus(corpus_root, utterances_per_split=((("train", 8), ("dev", 2), ("test", 1))))
+
+    attribute_path = str(tmp_path / "features.csv")
+    with open(attribute_path, "w", encoding="utf-8") as file:
+        file.write(mini_allophoible_csv())
+
+    config = mini_config_dict()
+    config["nn"]["batch_size"] = 8
+    config["nn"]["maximum_iterations"] = 1
+    config["data"]["languages"] = ["es", "it"]
+
+    save_path = str(tmp_path / "model.ckpt")
+    run_cli.main(
+        [
+            "train", corpus_root, "--cpu", "--no-progress",
+            "-j", json.dumps(config), "-a", attribute_path, "-s", save_path,
+        ]
+    )
+    checkpoint = checkpoint_module.load_checkpoint(save_path)
+    assert checkpoint.variables is not None

@@ -11,9 +11,6 @@ import pytest
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO_ROOT, "tools", "parity_check.py")
 
-sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
-
-
 def _run_tool(*args):
     environment = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO_ROOT)
     return subprocess.run(
@@ -55,7 +52,9 @@ class TestActivationsCommand:
         assert result.returncode == 0, result.stdout + result.stderr
         assert "worst layer diff" in result.stdout
 
-    def test_corrupted_weights_fail(self, tmp_path):
+    def test_exceeding_tolerance_fails(self, tmp_path):
+        # Exercise the failure exit path: any real float noise between the two
+        # frameworks exceeds a zero tolerance.
         import torch
         from transformers import Wav2Vec2Config
         from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model
@@ -78,16 +77,9 @@ class TestActivationsCommand:
             apply_spec_augment=False,
         )
         torch.manual_seed(0)
-        model = Wav2Vec2Model(config)
-        # A converter/model bug must be detected, not silently passed: perturb
-        # one encoder weight beyond tolerance.
-        with torch.no_grad():
-            model.encoder.layers[0].feed_forward.output_dense.weight.add_(0.5)
         model_dir = str(tmp_path / "hf_model")
-        model.save_pretrained(model_dir)
+        Wav2Vec2Model(config).save_pretrained(model_dir)
 
-        # The tool reconverts from the same (perturbed) weights, so activations
-        # still match; instead check the failure path via tolerance 0.
         result = _run_tool("activations", model_dir, "--seconds", "0.1", "--tolerance", "0")
         assert result.returncode == 1
 
@@ -116,6 +108,79 @@ class TestCheckpointCommand:
 
 
 class TestErrorRatesCommand:
+    def test_subcommand_end_to_end(self, tmp_path):
+        """predict -> evaluate -> tool comparison: our own evaluation of our own
+        predictions must match to 0 difference (exit 0); a perturbed reference
+        must fail the gate (exit 1)."""
+        import wave
+
+        from allophant_tpu.cli import run as run_cli
+        from allophant_tpu.config import Config
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+        from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+        from allophant_tpu.training import Estimator
+
+        import numpy as np
+
+        from fixtures import mini_allophoible_csv, mini_config_dict
+
+        # Tiny UCLA corpus.
+        rng = np.random.default_rng(0)
+        corpus_root = tmp_path / "corpus"
+        for language, phonemes in [("spa", ["a", "t", "n"]), ("ita", ["a", "s"])]:
+            base = corpus_root / language
+            (base / "audio").mkdir(parents=True)
+            with open(base / "inventory", "w", encoding="utf-8") as file:
+                for phoneme in phonemes:
+                    file.write(f"{phoneme} 5\n")
+            with open(base / "raw", "w", encoding="utf-8") as raw, open(
+                base / "text", "w", encoding="utf-8"
+            ) as text:
+                for index in range(2):
+                    utterance = f"{language}_{index}"
+                    raw.write(f"{utterance} rawform\n")
+                    text.write(f"{utterance} {' '.join(phonemes)}\n")
+                    data = (rng.uniform(-0.3, 0.3, 1600) * 32767).astype("<i2")
+                    with wave.open(str(base / "audio" / f"{utterance}.wav"), "wb") as file:
+                        file.setnchannels(1)
+                        file.setsampwidth(2)
+                        file.setframerate(16000)
+                        file.writeframes(data.tobytes())
+
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        estimator = Estimator.from_config(
+            config, 1, 16_000, attribute_graph_from_config(config, indexer), indexer,
+            load_pretrained_weights=False,
+        )
+        checkpoint = str(tmp_path / "model.ckpt")
+        estimator.save(checkpoint, phonetic_indexer_state=indexer.state())
+
+        predictions = str(tmp_path / "predictions.jsonl")
+        run_cli.main([
+            "predict", str(corpus_root), checkpoint, "--cpu", "--no-progress",
+            "-t", "ucla-phonetic", "-m", "utterances", "-s", "2", "-o", predictions,
+        ])
+        results = str(tmp_path / "results.json")
+        run_cli.main(["evaluate", predictions, "--no-remap", "-j", "-o", results])
+
+        matching = _run_tool("error-rates", predictions, results, "--no-remap")
+        assert matching.returncode == 0, matching.stdout + matching.stderr
+        assert "OK" in matching.stdout
+
+        # Perturb every error rate in the reference beyond the tolerance.
+        with open(results, "r", encoding="utf-8") as file:
+            perturbed = json.load(file)
+        for entry in perturbed["results"].values():
+            entry["error_rates"] = {
+                name: value + 0.05 for name, value in entry["error_rates"].items()
+            }
+        perturbed_path = str(tmp_path / "perturbed.json")
+        with open(perturbed_path, "w", encoding="utf-8") as file:
+            json.dump(perturbed, file)
+        failing = _run_tool("error-rates", predictions, perturbed_path, "--no-remap")
+        assert failing.returncode == 1, failing.stdout + failing.stderr
+
     def test_self_comparison_passes(self, tmp_path):
         # Evaluate the reference repo's own published results file against
         # itself through the tool's comparison: macro rates must match exactly.

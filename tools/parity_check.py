@@ -67,6 +67,13 @@ def check_activations(model_id: str, seconds: float = 2.0, tolerance: float = 2e
         {"params": params}, jnp.asarray(audio), jnp.asarray(lengths), deterministic=True
     )
 
+    if len(hidden_states) != len(torch_hidden):
+        print(
+            f"hidden-state count mismatch: ours {len(hidden_states)} vs torch {len(torch_hidden)}",
+            file=sys.stderr,
+        )
+        return 1
+
     frame_lengths = np.asarray(frame_lengths)
     frame_mask = np.arange(torch_hidden[0].shape[1])[None, :] < frame_lengths[:, None]
     worst = 0.0
@@ -99,13 +106,15 @@ def check_checkpoint(path: str) -> int:
     return 0
 
 
-def check_error_rates(predictions_path: str, reference_path: str, tolerance: float) -> int:
+def check_error_rates(
+    predictions_path: str, reference_path: str, tolerance: float, map_phonemes: bool = True
+) -> int:
     from allophant_tpu.evaluation import MultilingualEvaluationResults, macro_average_error_rates
     from allophant_tpu.evaluation_runner import compute_edit_statistics, summarize_edit_statistics
     from allophant_tpu.predictions import PredictionReader
 
     with PredictionReader(predictions_path) as reader:
-        statistics = compute_edit_statistics(reader, map_phonemes=True)
+        statistics = compute_edit_statistics(reader, map_phonemes=map_phonemes)
         ours = summarize_edit_statistics(statistics, reader.metadata.classifiers)
     our_macro = macro_average_error_rates(ours)
 
@@ -146,13 +155,19 @@ def main(argv=None) -> int:
     rates.add_argument("predictions")
     rates.add_argument("reference")
     rates.add_argument("--tolerance", type=float, default=0.1, help="percentage points")
+    rates.add_argument("--no-remap", action="store_true", help="skip inventory remapping")
 
     arguments = parser.parse_args(argv)
     if arguments.command == "activations":
         return check_activations(arguments.model_id, arguments.seconds, arguments.tolerance)
     if arguments.command == "checkpoint":
         return check_checkpoint(arguments.path)
-    return check_error_rates(arguments.predictions, arguments.reference, arguments.tolerance)
+    return check_error_rates(
+        arguments.predictions,
+        arguments.reference,
+        arguments.tolerance,
+        map_phonemes=not arguments.no_remap,
+    )
 
 
 if __name__ == "__main__":
