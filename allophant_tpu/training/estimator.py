@@ -238,17 +238,20 @@ class Estimator:
             target_feature_indices = jnp.asarray(np.asarray(target_feature_indices))
             feature_shape = tuple(target_feature_indices.shape)
         run = self._predict_fn(feature_shape, log_probabilities)
-        if target_feature_indices is None:
-            return run(
-                self.variables, jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
-            )
-        return run(
-            self.variables,
-            jnp.asarray(audio),
-            jnp.asarray(lengths),
-            jnp.asarray(language_ids),
-            target_feature_indices,
+        audio, lengths, language_ids = (
+            jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
         )
+        if self._mesh is not None and jax.process_count() > 1:
+            # Multi-host: assemble globally-sharded batches from each process's
+            # local slice (jit in_shardings alone cannot place host-local data).
+            from allophant_tpu.parallel.mesh import shard_batch_pytree
+
+            audio, lengths, language_ids = shard_batch_pytree(
+                (audio, lengths, language_ids), self._mesh
+            )
+        if target_feature_indices is None:
+            return run(self.variables, audio, lengths, language_ids)
+        return run(self.variables, audio, lengths, language_ids, target_feature_indices)
 
     def map_allophones(self, phone_logits, language_ids):
         """Maps raw phone log-probs to per-language phoneme log-probs (time-first in,

@@ -451,7 +451,8 @@ class TrainingRun:
         # Falls back to single-device execution when the per-step batch size
         # does not divide the device count.
         self._mesh = None
-        if jax.device_count() > 1 and architecture.batch_size % jax.device_count() == 0:
+        microbatch_size = architecture.batch_size // self._accumulation
+        if jax.device_count() > 1 and microbatch_size % jax.device_count() == 0:
             from allophant_tpu.parallel.mesh import create_mesh
 
             self._mesh = create_mesh(model_parallel=1)
@@ -524,7 +525,11 @@ class TrainingRun:
                 )
                 for group in groups:
                     microbatches = stack_microbatches(group)
-                    if self._mesh is not None:
+                    # Frame-budget batching yields variable batch sizes; shard
+                    # only steps whose batch axis divides the mesh (otherwise
+                    # the step runs replicated — correct, just not parallel).
+                    batch_rows = next(iter(microbatches.values())).shape[1]
+                    if self._mesh is not None and batch_rows % self._mesh.devices.size == 0:
                         from allophant_tpu.parallel.mesh import shard_microbatch_pytree
 
                         microbatches = shard_microbatch_pytree(microbatches, self._mesh)
