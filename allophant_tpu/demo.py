@@ -5,7 +5,11 @@ The real Allophoible database is not bundled (released checkpoints embed their o
 copy), so benchmarks and the graft entry build the full-size flagship (XLS-R 300m
 encoder + multitask attribute head with allophone layer and embedding composition)
 over a small synthetic phoneme inventory. The classifier head is a tiny fraction of
-the FLOPs, so throughput numbers are representative of real-table deployments."""
+the FLOPs, so throughput numbers are representative of real-table deployments:
+at the full Allophoible scale (~2,500 phonemes) the phoneme head adds
+~BT x d x C = 128 x 499 x 768 x 2500 x 2 ≈ 245 GFLOP per batch (~1.4 ms at MXU
+peak) plus ~0.4 ms of argmax — ~1-2% of the ~190 ms forward pass measured with
+the demo table."""
 
 from __future__ import annotations
 
