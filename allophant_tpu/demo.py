@@ -4,12 +4,11 @@ flagship model builders.
 The real Allophoible database is not bundled (released checkpoints embed their own
 copy), so benchmarks and the graft entry build the full-size flagship (XLS-R 300m
 encoder + multitask attribute head with allophone layer and embedding composition)
-over a small synthetic phoneme inventory. The classifier head is a tiny fraction of
-the FLOPs, so throughput numbers are representative of real-table deployments:
-at the full Allophoible scale (~2,500 phonemes) the phoneme head adds
-~BT x d x C = 128 x 499 x 768 x 2500 x 2 ≈ 245 GFLOP per batch (~1.4 ms at MXU
-peak) plus ~0.4 ms of argmax — ~1-2% of the ~190 ms forward pass measured with
-the demo table."""
+over a small synthetic phoneme inventory by default. The classifier head is a tiny
+fraction of the FLOPs, so throughput numbers are representative of real-table
+deployments — measured directly with ``num_segments=2500`` (a 2,409-phoneme
+inventory built from diacritic combinations): 3,349 vs 3,382 audio-sec/s on one
+v5e chip, a 1% difference."""
 
 from __future__ import annotations
 
@@ -61,14 +60,40 @@ _BASE_SEGMENTS = [
 ]
 
 
-def demo_feature_table_csv(num_languages: int = 8, seed: int = 0) -> str:
-    """Generates a deterministic synthetic Allophoible-format CSV: ~40 segments with
-    random-but-consistent feature assignments shared across `num_languages` language
-    inventories (subsets), with a few allophone relations."""
+_DIACRITICS = ["ʰ", "ʲ", "ʷ", "ː", "̃", "̥", "̤", "˞"]
+
+
+def _synthetic_segments(total: int) -> List[str]:
+    """The base IPA-ish segments, extended with diacritic combinations up to
+    ``total`` distinct segments (for full-Allophoible-scale benchmarking)."""
+    segments = list(_BASE_SEGMENTS)
+    for first in _DIACRITICS:
+        for base in _BASE_SEGMENTS:
+            if len(segments) >= total:
+                return segments
+            segments.append(base + first)
+    for first in _DIACRITICS:
+        for second in _DIACRITICS:
+            if first == second:
+                continue
+            for base in _BASE_SEGMENTS:
+                if len(segments) >= total:
+                    return segments
+                segments.append(base + first + second)
+    return segments
+
+
+def demo_feature_table_csv(num_languages: int = 8, seed: int = 0, num_segments: int | None = None) -> str:
+    """Generates a deterministic synthetic Allophoible-format CSV: ~40 segments
+    (or ``num_segments`` via diacritic combinations, up to full Allophoible
+    scale) with random-but-consistent feature assignments shared across
+    `num_languages` language inventories (subsets), with a few allophone
+    relations."""
     rng = np.random.default_rng(seed)
+    segments = _synthetic_segments(num_segments) if num_segments else list(_BASE_SEGMENTS)
     values = ["+", "-", "0"]
     feature_rows = {}
-    for segment in _BASE_SEGMENTS:
+    for segment in segments:
         feature_rows[segment] = ["-"] + [values[rng.integers(0, 3)] for _ in DEMO_FEATURES[1:]]
 
     language_codes = [
@@ -78,13 +103,13 @@ def demo_feature_table_csv(num_languages: int = 8, seed: int = 0) -> str:
 
     rows = []
     for index, language in enumerate(language_codes, start=1):
-        inventory_size = int(rng.integers(25, len(_BASE_SEGMENTS)))
-        inventory = list(rng.choice(_BASE_SEGMENTS, size=inventory_size, replace=False))
+        inventory_size = int(rng.integers(25, len(segments)))
+        inventory = list(rng.choice(segments, size=inventory_size, replace=False))
         for phoneme in inventory:
             allophones = phoneme
             # A few multi-allophone relations per language.
             if rng.random() < 0.2:
-                other = _BASE_SEGMENTS[int(rng.integers(0, len(_BASE_SEGMENTS)))]
+                other = segments[int(rng.integers(0, len(segments)))]
                 allophones = f"{phoneme} {other}"
             rows.append(
                 {
@@ -103,7 +128,7 @@ def demo_feature_table_csv(num_languages: int = 8, seed: int = 0) -> str:
                 }
             )
     # Feature bank: every segment as a marginal row so allophone references resolve.
-    for phoneme in _BASE_SEGMENTS:
+    for phoneme in segments:
         rows.append(
             {
                 "InventoryID": 999,
@@ -170,6 +195,7 @@ def build_flagship(
     dtype=None,
     phoneme_layer: str = "allophones",
     remat: bool = False,
+    num_segments: int | None = None,
 ):
     """Builds the flagship model (XLS-R 300m encoder unless overridden) over the demo
     table. Returns (config, indexer, built, variables-initializer)."""
@@ -182,7 +208,7 @@ def build_flagship(
     if dtype is None:
         dtype = jnp.float32
 
-    table = demo_feature_table_csv()
+    table = demo_feature_table_csv(num_segments=num_segments)
     config = Config.load(demo_config_dict(phoneme_layer=phoneme_layer))
     language_codes = ["es", "it", "de", "fr", "pt", "ru", "tr", "fi"][:num_languages]
 
