@@ -198,7 +198,7 @@ def build_flagship(
     num_segments: int | None = None,
 ):
     """Builds the flagship model (XLS-R 300m encoder unless overridden) over the demo
-    table. Returns (config, indexer, built, variables-initializer)."""
+    table. Returns (config, indexer, built_model)."""
     import jax.numpy as jnp
 
     from allophant_tpu.config import Config

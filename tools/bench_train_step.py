@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Benchmarks one flagship training step on the current backend.
+
+Measures the jit-compiled SPMD step (all heads, CTC objective, Adam,
+gradient accumulation as a lax.scan, per-layer rematerialization) at the
+configuration of ARCHITECTURE.md's measured-throughput table. First compile
+of the full training step takes minutes cold; the persistent compilation
+cache makes reruns near-instant.
+
+Usage: python tools/bench_train_step.py [accumulation] [batch] [seconds]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allophant_tpu.demo import build_flagship
+from allophant_tpu.training.train_step import build_loss_plan, create_optimizer, make_train_step
+
+
+def main() -> None:
+    accumulation = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+
+    config, indexer, built = build_flagship(dtype=jnp.bfloat16, remat=True)
+    variables = built.init(jax.random.PRNGKey(0), sample_batch_size=1, sample_length=3200)
+    params = variables.pop("params")
+    architecture = config.nn
+    loss_plan = build_loss_plan(architecture, has_allophone=True)
+    optimizer = create_optimizer(architecture, built.d_model)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(built.model, optimizer, loss_plan))
+
+    samples = int(16_000 * seconds)
+    rng = np.random.default_rng(0)
+    microbatches = {
+        "audio": jnp.asarray(rng.standard_normal((accumulation, batch, samples)).astype(np.float32)),
+        "lengths": jnp.full((accumulation, batch), samples, jnp.int32),
+        "language_ids": jnp.zeros((accumulation, batch), jnp.int32),
+    }
+    for name in loss_plan.ctc_heads:
+        microbatches[f"labels_{name}"] = jnp.asarray(
+            rng.integers(1, 5, (accumulation, batch, 30)).astype(np.int32)
+        )
+        microbatches[f"label_lengths_{name}"] = jnp.full((accumulation, batch), 30, jnp.int32)
+
+    key = jax.random.PRNGKey(1)
+
+    def run():
+        start = time.perf_counter()
+        _params, _opt, metrics = step(params, opt_state, variables, microbatches, key)
+        float(metrics["mean_loss"])  # fences execution
+        return time.perf_counter() - start
+
+    first = run()
+    print(f"first step (incl. compile): {first:.1f}s", flush=True)
+    best = min(run() for _ in range(5))
+    audio_seconds = accumulation * batch * seconds
+    print(f"train step: {best * 1e3:.0f} ms ({audio_seconds / best:.0f}x real-time)")
+
+
+if __name__ == "__main__":
+    main()
