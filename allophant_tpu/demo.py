@@ -65,7 +65,11 @@ _DIACRITICS = ["ʰ", "ʲ", "ʷ", "ː", "̃", "̥", "̤", "˞"]
 
 def _synthetic_segments(total: int) -> List[str]:
     """The base IPA-ish segments, extended with diacritic combinations up to
-    ``total`` distinct segments (for full-Allophoible-scale benchmarking)."""
+    ``total`` distinct segments (for full-Allophoible-scale benchmarking).
+    ``total`` below the base-set size returns the whole base set."""
+    capacity = len(_BASE_SEGMENTS) * (1 + len(_DIACRITICS) + len(_DIACRITICS) * (len(_DIACRITICS) - 1))
+    if total > capacity:
+        raise ValueError(f"num_segments {total} exceeds the synthetic capacity of {capacity}")
     segments = list(_BASE_SEGMENTS)
     for first in _DIACRITICS:
         for base in _BASE_SEGMENTS:

@@ -241,14 +241,6 @@ class Estimator:
         audio, lengths, language_ids = (
             jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
         )
-        if self._mesh is not None and jax.process_count() > 1:
-            # Multi-host: assemble globally-sharded batches from each process's
-            # local slice (jit in_shardings alone cannot place host-local data).
-            from allophant_tpu.parallel.mesh import shard_batch_pytree
-
-            audio, lengths, language_ids = shard_batch_pytree(
-                (audio, lengths, language_ids), self._mesh
-            )
         if target_feature_indices is None:
             return run(self.variables, audio, lengths, language_ids)
         return run(self.variables, audio, lengths, language_ids, target_feature_indices)

@@ -445,14 +445,16 @@ class TrainingRun:
         self._optimizer = create_optimizer(architecture, d_model)
         loss_plan = build_loss_plan(architecture, model.plan.allophone_shape is not None)
         freeze_plan = build_freeze_plan(architecture.acoustic_model)
-        # Data-parallel training over every visible chip: microbatches are
-        # sharded on their batch axis over a 1-D "data" mesh (process-local
-        # data on multi-host topologies) and XLA inserts the gradient psums.
-        # Falls back to single-device execution when the per-step batch size
-        # does not divide the device count.
+        # Data-parallel training over every visible chip on this host:
+        # microbatches shard their batch axis over a 1-D "data" mesh and XLA
+        # inserts the gradient psums. Per-step row divisibility is checked in
+        # the loop (frame-budget batching yields variable sizes). Multi-host
+        # pods additionally need process-sharded data loading
+        # (parallel/mesh.py:process_local_slice + shard_microbatch_pytree's
+        # multi-host branch) wired into the sampler, which is not done yet —
+        # the mesh is only created for single-process topologies.
         self._mesh = None
-        microbatch_size = architecture.batch_size // self._accumulation
-        if jax.device_count() > 1 and microbatch_size % jax.device_count() == 0:
+        if jax.device_count() > 1 and jax.process_count() == 1:
             from allophant_tpu.parallel.mesh import create_mesh
 
             self._mesh = create_mesh(model_parallel=1)
@@ -527,7 +529,8 @@ class TrainingRun:
                     microbatches = stack_microbatches(group)
                     # Frame-budget batching yields variable batch sizes; shard
                     # only steps whose batch axis divides the mesh (otherwise
-                    # the step runs replicated — correct, just not parallel).
+                    # the single-host step runs replicated — correct, just not
+                    # parallel).
                     batch_rows = next(iter(microbatches.values())).shape[1]
                     if self._mesh is not None and batch_rows % self._mesh.devices.size == 0:
                         from allophant_tpu.parallel.mesh import shard_microbatch_pytree

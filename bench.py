@@ -22,7 +22,7 @@ BASELINE_RTF = 50.0
 
 
 def main() -> None:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "allophant_tpu_xla"))
     import jax
     import jax.numpy as jnp
 

@@ -6,7 +6,7 @@ decode + JSONL output). Run from the repo root."""
 import sys, os, json, tempfile, wave
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.expanduser("~"), ".cache", "allophant_tpu_xla"))
 import numpy as np
 from fixtures import mini_allophoible_csv, mini_config_dict
 from allophant_tpu.config import Config
