@@ -131,3 +131,34 @@ def test_train_cli_data_parallel_over_virtual_mesh(tmp_path):
     )
     checkpoint = checkpoint_module.load_checkpoint(save_path)
     assert checkpoint.variables is not None
+
+
+def test_train_cli_frames_mode_with_indivisible_batches(tmp_path):
+    """Frame-budget batching yields variable row counts; on a multi-device mesh
+    steps whose batch axis does not divide the devices run replicated instead
+    of erroring (training/run.py per-step guard)."""
+    corpus_root = str(tmp_path / "cv")
+    os.makedirs(corpus_root)
+    build_cv_corpus(corpus_root, utterances_per_split=((("train", 5), ("dev", 2), ("test", 1))))
+
+    attribute_path = str(tmp_path / "features.csv")
+    with open(attribute_path, "w", encoding="utf-8") as file:
+        file.write(mini_allophoible_csv())
+
+    config = mini_config_dict()
+    # A frame budget that packs 1-3 utterances per batch (clips are ~1600-2400
+    # samples): batch rows will not divide the 8-device virtual mesh.
+    config["nn"]["batch_size"] = 6000
+    config["nn"]["batching_mode"] = "frames"
+    config["nn"]["maximum_iterations"] = 1
+    config["data"]["languages"] = ["es", "it"]
+
+    save_path = str(tmp_path / "model.ckpt")
+    run_cli.main(
+        [
+            "train", corpus_root, "--cpu", "--no-progress",
+            "-j", json.dumps(config), "-a", attribute_path, "-s", save_path,
+        ]
+    )
+    checkpoint = checkpoint_module.load_checkpoint(save_path)
+    assert checkpoint.variables is not None
