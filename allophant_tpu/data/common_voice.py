@@ -10,12 +10,11 @@ corpora interoperate in both directions."""
 from __future__ import annotations
 
 import csv
-import itertools
 import json
 import os
 from dataclasses import dataclass, field
 from os import path
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Literal, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Literal, Optional, Sequence, Set, Tuple, Union
 
 import msgpack
 from msgpack import ExtType
@@ -516,6 +515,87 @@ def _extract_entries(
                 yield entry
 
 
+def _vote_validated(entry: _CommonVoiceEntry) -> bool:
+    """Filter for the unvalidated "other" split: keep rows whose net community
+    vote ends up positive, matching the reference's validation rule."""
+    return entry.up_votes - entry.down_votes > 1
+
+
+def _utterance_fields(entry: _CommonVoiceEntry) -> Tuple[str, str, str, str, str, str]:
+    """Shared leading fields of Raw/Transcription records: the audio id is the
+    clip filename without its extension."""
+    return (
+        entry.sentence,
+        path.splitext(entry.path)[0],
+        entry.client_id,
+        entry.age,
+        entry.gender,
+        entry.accents,
+    )
+
+
+def _transcribe_language(
+    extractor, entries: Iterator[_CommonVoiceEntry], batch_size: int
+) -> Tuple[List[Transcription], List[Set[str]]]:
+    """Runs the (possibly multi-engine) G2P extractor over all entries and
+    accumulates each engine's observed phoneme inventory alongside the records."""
+    records: List[Transcription] = []
+    inventories: List[Set[str]] = []
+    for batch, per_entry_transcriptions in extractor.auto_batch_g2p_transcribe(entries, batch_size):
+        for entry, transcriptions in zip(batch, per_entry_transcriptions):
+            primary = transcriptions.flattened_primary_transcriptions()
+            for engine_index, engine_phonemes in enumerate(primary):
+                if engine_index == len(inventories):
+                    inventories.append(set())
+                inventories[engine_index].update(engine_phonemes)
+            records.append(Transcription(*_utterance_fields(entry), transcriptions))
+    return records, inventories
+
+
+def _remap_tagged_segments(
+    mapping: Dict[str, List[str]], segments: List[TaggedTranscription]
+) -> List[TaggedTranscription]:
+    """Rewrites primary-script (untagged) segments through the phoneme mapping;
+    segments carrying an embedded foreign-language tag pass through unchanged."""
+    rewritten = []
+    for segment in segments:
+        if segment.language is not None:
+            rewritten.append(segment)
+            continue
+        expanded: List[str] = []
+        for phoneme in segment.transcription:
+            expanded.extend(mapping[phoneme])
+        rewritten.append(TaggedTranscription(expanded, segment.language))
+    return rewritten
+
+
+def _remap_to_indexer_inventory(
+    records: List[Transcription],
+    engine_inventories: List[List[str]],
+    inventory_indexer: PhoneticAttributeIndexer,
+    language: str,
+    mapping_threshold: int | None,
+) -> Tuple[List[str], List[Dict[str, List[str]]]]:
+    """Maps each engine's observed inventory onto the indexer's phoneme set and
+    rewrites every stored transcription in place through its engine's mapping.
+    Returns the post-mapping inventory union and the per-engine mappings."""
+    mappings = inventory_indexer.map_language_inventory(
+        engine_inventories, language, distance_threshold=mapping_threshold
+    )
+
+    reachable: Set[str] = set()
+    for mapping, inventory in zip(mappings, engine_inventories):
+        for phoneme in inventory:
+            reachable.update(mapping[phoneme])
+
+    for record in records:
+        record.phonemes.phonemes = [
+            _remap_tagged_segments(mapping, engine_segments)
+            for mapping, engine_segments in zip(mappings, record.phonemes.phonemes)
+        ]
+    return sorted(reachable), mappings
+
+
 def _load_common_voice_splits(
     directory: str,
     languages: Sequence[str],
@@ -527,101 +607,50 @@ def _load_common_voice_splits(
     use_progress_bar: bool = False,
     mapping_threshold: int | None = None,
 ) -> Iterator[LanguageData]:
-    """Per-language TSV extraction + optional G2P transcription + optional inventory
-    remapping to Allophoible (reference mozilla_common_voice.py:666-781)."""
-
-    def accept_all(_: _CommonVoiceEntry) -> bool:
-        return True
-
-    def positive_score(entry: _CommonVoiceEntry) -> bool:
-        return (entry.up_votes - entry.down_votes) > 1
-
+    """Streams one :class:`LanguageData` per language: TSV rows filtered per split,
+    optionally G2P-transcribed, optionally remapped onto the indexer's inventory.
+    Semantics follow reference mozilla_common_voice.py:666-781; the structure here
+    is decomposed into the helpers above."""
     schema = _CommonVoiceEntry.schema()
-    split_filters = [positive_score if split == _OTHER_SPLIT else accept_all for split in splits]
+    split_filters = [
+        _vote_validated if split == _OTHER_SPLIT else (lambda _: True) for split in splits
+    ]
+    progress = _language_progress(languages) if use_progress_bar else languages
 
-    for language in languages:
+    for language in progress:
         SEGMENTATION_LOGGER.context_language(language)
-        language_path = path.join(directory, language)
-        num_engines = g2p_engine.num_engines if g2p_engine is not None else 0
-        phoneme_inventories: List[set] = [set() for _ in range(num_engines)]
-        transcribed: List[Any] = []
         limit = limits if limits is None or isinstance(limits, int) else limits.get(language)
-        entries = _extract_entries(language_path, splits, split_filters, schema, limit)
+        entries = _extract_entries(path.join(directory, language), splits, split_filters, schema, limit)
 
         if g2p_engine is None:
-            for entry in entries:
-                transcribed.append(
-                    RawTranscription(
-                        entry.sentence,
-                        path.splitext(entry.path)[0],
-                        entry.client_id,
-                        entry.age,
-                        entry.gender,
-                        entry.accents,
-                    )
-                )
+            records: List[Any] = [RawTranscription(*_utterance_fields(entry)) for entry in entries]
+            engine_inventories: List[List[str]] = []
         else:
-            extractor = g2p_engine.extractor(language)
-            for batch, transcription_batches in extractor.auto_batch_g2p_transcribe(entries, batch_size):
-                for entry, transcriptions in zip(batch, transcription_batches):
-                    for inventory, transcription in zip(
-                        phoneme_inventories, transcriptions.flattened_primary_transcriptions()
-                    ):
-                        inventory.update(transcription)
-                    transcribed.append(
-                        Transcription(
-                            entry.sentence,
-                            path.splitext(entry.path)[0],
-                            entry.client_id,
-                            entry.age,
-                            entry.gender,
-                            entry.accents,
-                            transcriptions,
-                        )
-                    )
+            records, observed = _transcribe_language(g2p_engine.extractor(language), entries, batch_size)
+            # Engines that produced nothing still need an (empty) inventory slot.
+            observed.extend(set() for _ in range(g2p_engine.num_engines - len(observed)))
+            engine_inventories = [sorted(inventory) for inventory in observed]
 
-        sorted_inventories = [sorted(inventory) for inventory in phoneme_inventories]
         if inventory_indexer is None:
-            phoneme_inventory = sorted(
-                phoneme for inventory in sorted_inventories for phoneme in inventory
+            inventory = sorted(
+                phoneme for engine_inventory in engine_inventories for phoneme in engine_inventory
             )
-            inventory_mappings: List[Dict[str, List[str]]] = []
+            mappings: List[Dict[str, List[str]]] = []
         else:
-            inventory_mappings = inventory_indexer.map_language_inventory(
-                sorted_inventories, language, distance_threshold=mapping_threshold
+            inventory, mappings = _remap_to_indexer_inventory(
+                records, engine_inventories, inventory_indexer, language, mapping_threshold
             )
-            phoneme_inventory = sorted(
-                {
-                    mapped_phoneme
-                    for mapping, inventory in zip(inventory_mappings, sorted_inventories)
-                    for phoneme in inventory
-                    for mapped_phoneme in mapping[phoneme]
-                }
-            )
-            # Remap phonemes from all transcriptions (primary-script segments only).
-            for transcription in transcribed:
-                transcription.phonemes.phonemes = [
-                    [
-                        (
-                            TaggedTranscription(
-                                list(
-                                    itertools.chain.from_iterable(
-                                        mapping[phoneme] for phoneme in segment.transcription
-                                    )
-                                ),
-                                segment.language,
-                            )
-                            if segment.language is None
-                            else segment
-                        )
-                        for segment in engine_transcriptions
-                    ]
-                    for mapping, engine_transcriptions in zip(
-                        inventory_mappings, transcription.phonemes.phonemes
-                    )
-                ]
 
-        yield LanguageData(LanguageInfo(language, phoneme_inventory, inventory_mappings), transcribed)
+        yield LanguageData(LanguageInfo(language, inventory, mappings), records)
+
+
+def _language_progress(languages: Sequence[str]) -> Iterable[str]:
+    """Wraps the language loop in a tqdm bar when available."""
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        return languages
+    return tqdm(languages, position=0, unit=" languages")
 
 
 def load_common_voice(

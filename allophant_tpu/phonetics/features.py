@@ -24,7 +24,7 @@ import unicodedata
 import warnings
 from dataclasses import dataclass
 from io import StringIO
-from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 import pandas as pd
@@ -260,15 +260,6 @@ class PhonemeIndexer:
         return self._feature_table.shape[0]
 
 
-def _closest_phonemes(distance_matrix: np.ndarray, target_inventory: List[str]) -> Iterator[Tuple[str, int]]:
-    """(closest target phoneme, distance) for every row of a distance matrix."""
-    argmins = distance_matrix.argmin(axis=1)
-    return (
-        (target_inventory[int(column)], int(distance_matrix[row, int(column)]))
-        for row, column in enumerate(argmins)
-    )
-
-
 PhonemeMapping = Dict[str, List[str]]
 
 
@@ -389,50 +380,77 @@ class ArticulatoryAttributes(PhonemeIndexer):
         distance_threshold: int | None = None,
     ):
         """Maps source phonemes to the closest target phonemes by feature hamming
-        distance; exact string matches map first, complex segments are optionally
-        split when the closest target has a different subsegment count, and mappings
-        above ``distance_threshold`` revert to identity (reference :355-445)."""
-        matching = set(source_inventory).intersection(target_inventory)
-        mapping: PhonemeMapping = {phoneme: [phoneme] for phoneme in matching}
-        source_inventory = [phoneme for phoneme in source_inventory if phoneme not in matching]
-        target_inventory = list(target_inventory)
-        distance_matrix = self._inventory_distance_matrix(source_inventory, target_inventory, add_base_count=True)
-        split_matrices: Dict[str, DataFrame] = {}
+        distance (reference phonetic_features.py:355-445 provides the semantics).
 
-        replacements: PhonemeMapping = {}
-        for phoneme, (target, distance) in zip(
-            source_inventory, _closest_phonemes(distance_matrix, target_inventory)
-        ):
-            phoneme_base = list(segmentation.base_phonemes(phoneme))
-            target_base = list(segmentation.base_phonemes(target))
-            if not (split_non_matching_complex and len(phoneme_base) != len(target_base)):
-                if distance_threshold is not None and distance >= distance_threshold:
-                    target = phoneme
-                replacements[phoneme] = [target]
-                continue
+        Resolution happens in three stages: exact string matches are pinned to
+        themselves up front (distinct phonemes can share a feature row, so feature
+        search could reassign them arbitrarily); the remainder are matched against
+        one batched distance matrix; and — when ``split_non_matching_complex`` is
+        set — complex segments whose nearest target has a different base-segment
+        count are deferred, split into subsegments, and matched through a second
+        distance matrix computed once over *all* deferred subsegments. Any match at
+        or above ``distance_threshold`` falls back to the identity mapping.
+        """
+        targets = list(target_inventory)
+        target_set = set(targets)
 
-            # Complex source vs simple target: split and map subsegments individually.
-            subsegments = segmentation.split_complex_segment(phoneme)
-            split_matrix = self._inventory_distance_matrix(subsegments, target_inventory, add_base_count=True)
-            if return_distance_matrices:
-                split_matrices[phoneme] = DataFrame(split_matrix, index=subsegments, columns=target_inventory)
-            replacements[phoneme] = [
-                target if distance_threshold is None or distance < distance_threshold else subsegment
-                for subsegment, (target, distance) in zip(
-                    subsegments, _closest_phonemes(split_matrix, target_inventory)
-                )
-            ]
+        mapping: PhonemeMapping = {}
+        unmatched: List[str] = []
+        for phoneme in source_inventory:
+            if phoneme in target_set:
+                mapping[phoneme] = [phoneme]
+            else:
+                unmatched.append(phoneme)
 
-        mapping.update(replacements)
-        unmapped_from_target = set(target_inventory) - set(
-            phoneme for phonemes in mapping.values() for phoneme in phonemes
-        )
-        if unmapped_from_target:
-            logging.warning(f"{len(unmapped_from_target)} unmapped from target: {unmapped_from_target}")
+        pairwise = self._inventory_distance_matrix(unmatched, targets, add_base_count=True)
+
+        def nearest(row: np.ndarray) -> Tuple[str, int]:
+            column = int(row.argmin())
+            return targets[column], int(row[column])
+
+        def thresholded(candidate: str, distance: int, identity: str) -> str:
+            if distance_threshold is not None and distance >= distance_threshold:
+                return identity
+            return candidate
+
+        # Stage 1: direct assignment, deferring complex segments whose best
+        # candidate disagrees on base-segment count.
+        deferred: List[Tuple[str, List[str]]] = []
+        for row, phoneme in enumerate(unmatched):
+            candidate, distance = nearest(pairwise[row])
+            if split_non_matching_complex:
+                source_bases = segmentation.iterator_length(segmentation.base_phonemes(phoneme))
+                candidate_bases = segmentation.iterator_length(segmentation.base_phonemes(candidate))
+                if source_bases != candidate_bases:
+                    deferred.append((phoneme, segmentation.split_complex_segment(phoneme)))
+                    continue
+            mapping[phoneme] = [thresholded(candidate, distance, phoneme)]
+
+        # Stage 2: one distance computation over every deferred subsegment,
+        # sliced back into per-phoneme blocks.
+        split_frames: Dict[str, DataFrame] = {}
+        if deferred:
+            flat_subsegments = [subsegment for _, subsegments in deferred for subsegment in subsegments]
+            subsegment_matrix = self._inventory_distance_matrix(flat_subsegments, targets, add_base_count=True)
+            offset = 0
+            for phoneme, subsegments in deferred:
+                block = subsegment_matrix[offset : offset + len(subsegments)]
+                offset += len(subsegments)
+                if return_distance_matrices:
+                    split_frames[phoneme] = DataFrame(block, index=subsegments, columns=targets)
+                mapping[phoneme] = [
+                    thresholded(*nearest(block[index]), identity=subsegment)
+                    for index, subsegment in enumerate(subsegments)
+                ]
+
+        covered = {assigned for group in mapping.values() for assigned in group}
+        never_selected = target_set - covered
+        if never_selected:
+            logging.warning(f"{len(never_selected)} unmapped from target: {never_selected}")
 
         if return_distance_matrices:
             return mapping, DistanceMatrices(
-                DataFrame(distance_matrix, index=source_inventory, columns=target_inventory), split_matrices
+                DataFrame(pairwise, index=unmatched, columns=targets), split_frames
             )
         return mapping
 
@@ -954,24 +972,18 @@ _SOURCE_AND_LANGUAGE = ["Source", "ISO6393", "SpecificDialect"]
 def _select_largest_inventories(
     non_marginal_allophones: DataFrame, preferred_dialects: Dict[str, str] | None = None
 ) -> DataFrame:
-    data = non_marginal_allophones[_SOURCE_AND_LANGUAGE]
+    """One ``(Source, ISO6393, SpecificDialect)`` row per language: the inventory
+    with the most phoneme rows wins. Languages with an entry in
+    ``preferred_dialects`` are pinned to that dialect — their other dialects never
+    compete (reference phonetic_features.py:1018-1041 defines the selection rule)."""
+    candidates = non_marginal_allophones[_SOURCE_AND_LANGUAGE]
     if preferred_dialects is not None:
-        data = pd.concat(
-            [
-                *(
-                    data[(data["ISO6393"] == language) & (data["SpecificDialect"] == dialect)]
-                    for language, dialect in preferred_dialects.items()
-                ),
-                data[~data["ISO6393"].isin(preferred_dialects)],
-            ]
-        )
-    return (
-        data.groupby(_SOURCE_AND_LANGUAGE, dropna=False)
-        .size()
-        .sort_values(ascending=False)
-        .reset_index()
-        .drop_duplicates("ISO6393")
-    )
+        pinned_dialect = candidates["ISO6393"].map(preferred_dialects)
+        candidates = candidates[pinned_dialect.isna() | (candidates["SpecificDialect"] == pinned_dialect)]
+
+    sizes = candidates.groupby(_SOURCE_AND_LANGUAGE, dropna=False).size().reset_index(name="rows")
+    winners = sizes.loc[sizes.groupby("ISO6393", dropna=False)["rows"].idxmax()]
+    return winners[_SOURCE_AND_LANGUAGE].reset_index(drop=True)
 
 
 def _filter_inventories_by_remap(
@@ -999,6 +1011,60 @@ def _filter_inventories_by_remap(
     return pd.concat(groups)
 
 
+def _resolve_macro_language_variants(pool: DataFrame, unresolved: Set[str]) -> Dict[str, str]:
+    """For requested languages with no inventory of their own, picks a PHOIBLE
+    variant sharing the same macro-language code. If the macro code itself shows
+    up among the PHOIBLE codes, it replaces any sibling variant chosen earlier.
+    (The reference states this preference in a comment but updates the wrong dict
+    key, phonetic_features.py:1105-1107; we implement the stated intent.)
+    Returns ``{requested code: chosen PHOIBLE variant}``; raises if any requested
+    language has no variant with allophone data at all."""
+    awaiting = {LanguageCode.from_str(code, True, True).alpha3_t: code for code in unresolved}
+    chosen: Dict[str, str] = {}
+    for variant in pool["ISO6393"].unique():
+        macro = LanguageCode.from_str(variant, True, True).alpha3_t
+        if macro in awaiting:
+            chosen[awaiting.pop(macro)] = variant
+        elif variant == macro and macro in chosen:
+            chosen[macro] = variant
+
+    if awaiting:
+        raise ValueError(
+            "Some of the requested languages don't contain allophone data:"
+            f" {sorted(awaiting.values())}"
+        )
+    return chosen
+
+
+def _feature_only_rows(phoible: DataFrame, phonemes: Set[str]) -> DataFrame:
+    """Builds feature rows for allophones that never occur as a phoneme of their
+    own in the selected inventories: one deduplicated row per phoneme with the
+    unused inventory id 0 and all language metadata cleared."""
+    rows = phoible[phoible["Phoneme"].isin(phonemes)].drop_duplicates("Phoneme").copy()
+    undefined = phonemes - set(rows["Phoneme"])
+    if undefined:
+        raise ValueError(
+            f"Missing pre-computed feature definitions for {len(undefined)} allophones:"
+            f" {undefined}"
+        )
+    rows["InventoryID"] = 0
+    for column in rows.loc[:, "Glottocode":"SpecificDialect"].columns:
+        rows[column] = pd.NA
+    rows["Source"] = pd.NA
+    rows["Allophones"] = pd.NA
+    return rows
+
+
+def _referenced_allophones(selected: DataFrame) -> Set[str]:
+    """Every phoneme named in a space-separated ``Allophones`` list that has no
+    ``Phoneme`` row of its own in the selection (NaN and empty entries skipped)."""
+    known = set(selected["Phoneme"].unique())
+    referenced: Set[str] = set()
+    for allophone_list in selected["Allophones"].dropna().unique():
+        referenced.update(allophone_list.split(" "))
+    return {phoneme for phoneme in referenced if phoneme and phoneme not in known}
+
+
 def extract_allophone_inventories(
     phoible: DataFrame,
     language_codes: Sequence[str] | None = None,
@@ -1007,116 +1073,67 @@ def extract_allophone_inventories(
     prefer_default_dialects: bool = False,
     remove_zero_phoneme: bool = False,
 ) -> DataFrame:
-    """Selects the best allophone inventory per language from a PHOIBLE-format table
-    (reference :1067-1189): largest (or preferred-dialect) inventory, macro-language
-    resolution for missing codes, and extra ``InventoryID == 0`` rows so every
-    allophone has a feature row."""
-    non_marginal = phoible[~phoible["Allophones"].isna() & (phoible["Marginal"] != "TRUE")]
+    """Builds the per-language allophone feature table from a PHOIBLE-format frame
+    (semantics per reference phonetic_features.py:1067-1189): pick one inventory
+    per language (largest, or the preferred dialect), fall back to macro-language
+    variants for codes PHOIBLE lacks, optionally restrict to remapped inventories,
+    and append ``InventoryID == 0`` feature-only rows so every referenced
+    allophone has a feature vector."""
+    dialects = _load_default_dialects() if prefer_default_dialects else None
+    usable = phoible[phoible["Allophones"].notna() & (phoible["Marginal"] != "TRUE")]
+
+    requested: Set[str] | None = None
+    pool = usable
     if language_codes is not None:
-        language_codes_iso6393 = {LanguageCode.from_str(code).alpha3 for code in language_codes}
-        filtered = non_marginal[non_marginal["ISO6393"].isin(language_codes_iso6393)]
-    else:
-        language_codes_iso6393 = None
-        filtered = non_marginal.copy()
+        requested = {LanguageCode.from_str(code).alpha3 for code in language_codes}
+        pool = usable[usable["ISO6393"].isin(requested)]
 
-    if prefer_default_dialects:
-        default_dialects = _load_default_dialects()
-    else:
-        default_dialects = None
+    chosen = _select_largest_inventories(pool, dialects)
 
-    languages = _select_largest_inventories(filtered, default_dialects)
-
-    # Resolve language codes with no PHOIBLE inventory via their macro language.
-    if language_codes_iso6393 is not None and len(languages) != len(language_codes_iso6393):
-        phoible_language_codes = non_marginal["ISO6393"].unique()
-        missing_languages = {
-            LanguageCode.from_str(language, True, True).alpha3_t: language
-            for language in set(language_codes_iso6393) - set(languages["ISO6393"])
-        }
-        missing_mappings: Dict[str, str] = {}
-        for language in phoible_language_codes:
-            macro = LanguageCode.from_str(language, True, True).alpha3_t
-            if macro in missing_languages:
-                missing_mappings[missing_languages.pop(macro)] = language
-            elif language == macro and macro in missing_mappings:
-                missing_mappings[missing_mappings[macro]] = language
-
-        if missing_languages:
-            raise ValueError(
-                "Some of the requested languages don't contain allophone data:"
-                f" {sorted(missing_languages.values())}"
-            )
-
+    # Requested codes absent from the selection are served by a macro-language
+    # sibling, renamed back to the requested code below.
+    renames: Dict[str, str] = {}
+    if requested is not None and len(chosen) != len(requested):
+        renames = _resolve_macro_language_variants(usable, requested - set(chosen["ISO6393"]))
         warnings.warn(
-            f"Remapped some languages to a variant within the same macro language: {missing_mappings}",
+            f"Remapped some languages to a variant within the same macro language: {renames}",
             LanguageMappingWarning,
         )
-        languages = pd.concat(
-            (
-                languages,
-                _select_largest_inventories(
-                    non_marginal[non_marginal["ISO6393"].isin(missing_mappings.values())], default_dialects
-                ),
-            )
-        )
-    else:
-        missing_mappings = {}
+        variant_pool = usable[usable["ISO6393"].isin(renames.values())]
+        chosen = pd.concat((chosen, _select_largest_inventories(variant_pool, dialects)))
 
-    filtered = phoible[
-        phoible.set_index(_SOURCE_AND_LANGUAGE).index.isin(languages.set_index(_SOURCE_AND_LANGUAGE).index)
-    ].copy()
-
-    filtered["ISO6393"] = filtered["ISO6393"].replace(
-        {macro: language for language, macro in missing_mappings.items()}
+    inventory_keys = chosen.set_index(_SOURCE_AND_LANGUAGE).index
+    selected = phoible[phoible.set_index(_SOURCE_AND_LANGUAGE).index.isin(inventory_keys)].copy()
+    selected["ISO6393"] = selected["ISO6393"].replace(
+        {variant: requested_code for requested_code, variant in renames.items()}
     )
 
     if remapped_inventories is not None:
-        filtered = _filter_inventories_by_remap(phoible, filtered, remapped_inventories)
+        selected = _filter_inventories_by_remap(phoible, selected, remapped_inventories)
 
     if remove_zero_phoneme:
-        filtered["Allophones"] = filtered["Allophones"].str.replace(r"( ?∅|∅ ?)", "", regex=True)
+        selected["Allophones"] = selected["Allophones"].str.replace(r"( ?∅|∅ ?)", "", regex=True)
 
-    unique_allophones = filtered["Allophones"].str.split(" ").explode().unique()
-    unique_phonemes = set(filtered["Phoneme"].unique())
-    missing_phonemes = set(unique_allophones) - unique_phonemes - {np.nan}
-    missing_phonemes = {phoneme for phoneme in missing_phonemes if isinstance(phoneme, str) and phoneme}
-    additional_phones = phoible[phoible["Phoneme"].isin(missing_phonemes)].drop_duplicates("Phoneme").copy()
+    table = pd.concat((_feature_only_rows(phoible, _referenced_allophones(selected)), selected))
+    table = table.drop(columns="Marginal").rename(columns={"Phoneme": PHONEME_FEATURE})
 
-    missing_features = missing_phonemes - set(additional_phones["Phoneme"])
-    if missing_features:
-        raise ValueError(
-            f"Missing pre-computed feature definitions for {len(missing_features)} allophones:"
-            f" {missing_features}"
-        )
-
-    # Feature-only rows get the unused inventory id 0 and no language metadata.
-    additional_phones["InventoryID"] = 0
-    for column in phoible.loc[:, "Glottocode":"SpecificDialect"].columns:
-        additional_phones[column] = pd.NA
-    additional_phones["Source"] = pd.NA
-    additional_phones["Allophones"] = pd.NA
-
-    phoible_subset = pd.concat((additional_phones, filtered))
-    phoible_subset = phoible_subset.drop(["Marginal"], axis=1)
-    phoible_subset = phoible_subset.rename(columns={"Phoneme": PHONEME_FEATURE})
-
-    last_non_feature_column = int(phoible_subset.columns.get_loc("Source"))
+    features_start = int(table.columns.get_loc("Source")) + 1
     if attribute_subset is not None:
-        initial_columns = phoible_subset.columns[: last_non_feature_column + 1].tolist()
-        if PHONEME_FEATURE in initial_columns:
-            initial_columns.remove(PHONEME_FEATURE)
-        initial_columns.extend(attribute_subset)
-        phoible_subset = phoible_subset.loc[:, initial_columns]
+        metadata_columns = [
+            column for column in table.columns[:features_start] if column != PHONEME_FEATURE
+        ]
+        table = table.loc[:, metadata_columns + list(attribute_subset)]
+        features_start = len(metadata_columns)
 
-    feature_block = phoible_subset.iloc[:, last_non_feature_column + 1 :]
-    singleton_columns = feature_block.nunique() <= 1
-    if singleton_columns.any():
+    feature_block = table.iloc[:, features_start:]
+    constant = feature_block.nunique() <= 1
+    if constant.any():
         warnings.warn(
-            f"Only one feature variant found in {feature_block.columns[singleton_columns].tolist()}",
+            f"Only one feature variant found in {feature_block.columns[constant].tolist()}",
             SingletonFeatureWarning,
         )
 
-    return phoible_subset
+    return table
 
 
 def _load_default_dialects() -> Dict[str, str]:
