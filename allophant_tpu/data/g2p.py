@@ -370,6 +370,28 @@ class _EspeakProcessor(SegmentationProcessor):
         return phoneme.replace(TIE, "")
 
 
+# espeak's keep-flags mode marks language switches inline as "(lang)".
+_LANGUAGE_FLAG = re.compile(r"\s*\((\w+)\)\s*")
+
+
+def _split_language_flags(phoneme_string: str, main_language: str) -> Iterator[Tuple[Optional[str], str]]:
+    """Yields ``(language tag, span)`` pairs from an espeak ``keep-flags``
+    phonemization. Spans in the main language carry tag ``None``; empty spans
+    (e.g. a flag at the very start) are dropped."""
+    current: Optional[str] = None
+    cursor = 0
+    for match in _LANGUAGE_FLAG.finditer(phoneme_string):
+        span = phoneme_string[cursor : match.start()]
+        if span:
+            yield current, span
+        switched = match.group(1)
+        current = None if switched == main_language else switched
+        cursor = match.end()
+    tail = phoneme_string[cursor:]
+    if tail:
+        yield current, tail
+
+
 class EspeakNg(GraphemeToPhonemeModel):
     """eSpeak NG G2P via phonemizer (requires the optional ``phonemizer`` package and
     a system espeak-ng install)."""
@@ -409,19 +431,14 @@ class EspeakNg(GraphemeToPhonemeModel):
         from phonemizer.separator import Separator
 
         for phonemes in self._backend.phonemize(sentences, Separator(word="", phone=" ")):
-            subsequences = []
-            flag = None
-            for subsequence in re.split(r"\s*(\(\w+)\)\s*", phonemes):
-                if subsequence.startswith("("):
-                    new_flag = subsequence[1:]
-                    flag = new_flag if new_flag != self._espeak_main_language else None
-                elif subsequence:
-                    subsequences.append(
-                        TaggedTranscription(
-                            list(self._segmenter.lossy_segment([subsequence.split()]))[0], flag
-                        )
-                    )
-            yield subsequences
+            yield [
+                TaggedTranscription(
+                    list(self._segmenter.lossy_segment([span.split()]))[0], language_tag
+                )
+                for language_tag, span in _split_language_flags(
+                    phonemes, self._espeak_main_language
+                )
+            ]
 
     def _process_batch(self, sentences: List[str]) -> Sequence[List[TaggedTranscription]]:
         return list(self._process_phonemes(sentences))

@@ -281,7 +281,9 @@ def summarize_edit_statistics(
         language_error_rates = {}
         for name, statistics in language_statistics.items():
             total_statistics[name] += statistics
-            language_error_rates[name] = statistics.word_error_rate() if statistics.correct or statistics.substitutions or statistics.deletions or statistics.insertions else 0.0
+            # word_error_rate handles empty references itself (0.0 when all
+            # counts are zero, inf for insertions-only).
+            language_error_rates[name] = statistics.word_error_rate()
         stats[language] = EvaluationResults(classifiers, language_error_rates, language_statistics)
 
     total_error_rates = {

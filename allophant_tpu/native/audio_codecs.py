@@ -21,6 +21,7 @@ _MPG123_OK = 0
 _MPG123_DONE = -12
 _MPG123_NEW_FORMAT = -11
 _MPG123_ENC_FLOAT_32 = 0x200
+_MPG123_ENC_SIGNED_16 = 0xD0
 
 
 def _load_library(*names: str) -> Optional[ctypes.CDLL]:
@@ -103,7 +104,12 @@ def decode_mp3(path: str) -> Tuple[np.ndarray, int]:
                 ):
                     float_supported = True
         if not float_supported:
-            _mpg123.mpg123_format_all(handle)
+            # Restrict the fallback to signed 16-bit explicitly: format_all
+            # would let mpg123 negotiate u8/s32/etc., which frombuffer below
+            # would silently misinterpret.
+            for standard_rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000):
+                for num_channels in (1, 2):
+                    _mpg123.mpg123_format(handle, standard_rate, num_channels, _MPG123_ENC_SIGNED_16)
 
         if _mpg123.mpg123_open(handle, path.encode()) != _MPG123_OK:
             raise FileNotFoundError(f"mpg123 could not open {path!r}")
@@ -115,6 +121,11 @@ def decode_mp3(path: str) -> Tuple[np.ndarray, int]:
         )
         if status != _MPG123_OK:
             raise RuntimeError(f"mpg123_getformat failed for {path!r}")
+        if encoding.value not in (_MPG123_ENC_FLOAT_32, _MPG123_ENC_SIGNED_16):
+            raise RuntimeError(
+                f"mpg123 negotiated unsupported encoding 0x{encoding.value:x} for {path!r};"
+                " only float32 and signed 16-bit output are handled"
+            )
         is_float = encoding.value == _MPG123_ENC_FLOAT_32
 
         chunks = []

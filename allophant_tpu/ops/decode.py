@@ -127,8 +127,10 @@ class BeamCTCDecoder:
 
     def _decode_single(self, log_probs: np.ndarray) -> List[CTCHypothesis]:
         time, classes = log_probs.shape
-        # prefix -> [log_blank, log_non_blank, timesteps]
-        beams = {(): [0.0, -math.inf, ()]}
+        # prefix -> [log_blank, log_non_blank, timesteps, best_path_score]; the
+        # timesteps of a merged prefix follow its highest-scoring contributing
+        # path (flashlight keeps the best candidate's backpointers on merge).
+        beams = {(): [0.0, -math.inf, (), 0.0]}
         for t in range(time):
             frame = log_probs[t]
             # Prune classes for speed: top candidates per frame.
@@ -136,27 +138,47 @@ class BeamCTCDecoder:
             next_beams: dict = {}
 
             def merge(prefix, log_blank, log_non_blank, timesteps):
+                contribution = _log_add(log_blank, log_non_blank)
                 entry = next_beams.get(prefix)
                 if entry is None:
-                    next_beams[prefix] = [log_blank, log_non_blank, timesteps]
+                    next_beams[prefix] = [log_blank, log_non_blank, timesteps, contribution]
                 else:
                     entry[0] = _log_add(entry[0], log_blank)
                     entry[1] = _log_add(entry[1], log_non_blank)
+                    if contribution > entry[3]:
+                        entry[2] = timesteps
+                        entry[3] = contribution
 
-            for prefix, (log_blank, log_non_blank, timesteps) in beams.items():
+            candidate_set = set(int(token) for token in candidates)
+            for prefix, (log_blank, log_non_blank, timesteps, _best) in beams.items():
                 total = _log_add(log_blank, log_non_blank)
+                # "Stay" transition: blank extension and (for non-empty prefixes)
+                # a repeat of the last token both keep the prefix — they form ONE
+                # merged candidate, so their combined mass is this path's
+                # contribution when competing for the merged prefix's timesteps
+                # (mirrors the device kernel's blank-column candidate).
+                stay_blank = (
+                    total + float(frame[self._blank_index])
+                    if self._blank_index in candidate_set
+                    else -math.inf
+                )
+                stay_non_blank = (
+                    log_non_blank + float(frame[prefix[-1]])
+                    if prefix and prefix[-1] in candidate_set
+                    else -math.inf
+                )
+                if stay_blank > -math.inf or stay_non_blank > -math.inf:
+                    merge(prefix, stay_blank, stay_non_blank, timesteps)
                 for token in candidates:
                     token_log = float(frame[token])
                     if token == self._blank_index:
-                        merge(prefix, total + token_log, -math.inf, timesteps)
-                    elif prefix and token == prefix[-1]:
-                        # Repeat: extends the non-blank path without growing the
-                        # prefix; growing requires an intervening blank.
-                        merge(prefix, -math.inf, log_non_blank + token_log, timesteps)
-                        new_prefix = prefix + (token,)
+                        continue  # handled as part of the stay candidate
+                    new_prefix = prefix + (token,)
+                    if prefix and token == prefix[-1]:
+                        # Growing by a repeated token requires an intervening
+                        # blank, so only the blank-ending mass extends.
                         merge(new_prefix, -math.inf, log_blank + token_log, timesteps + (t + 1,))
                     else:
-                        new_prefix = prefix + (token,)
                         merge(new_prefix, -math.inf, total + token_log, timesteps + (t + 1,))
 
             # Keep the best `beam_width` prefixes.
@@ -166,7 +188,7 @@ class BeamCTCDecoder:
             beams = dict(scored)
 
         hypotheses = []
-        for prefix, (log_blank, log_non_blank, timesteps) in sorted(
+        for prefix, (log_blank, log_non_blank, timesteps, _best) in sorted(
             beams.items(), key=lambda item: _log_add(item[1][0], item[1][1]), reverse=True
         )[: self._n_best]:
             hypotheses.append(
@@ -222,6 +244,27 @@ def _segmented_logaddexp_scan(seg_start, values):
 
     _, scanned = jax.lax.associative_scan((lambda a, b: combine(a, b)), (seg_start, values), axis=-1)
     return scanned
+
+
+def _segmented_argmax_scan(seg_start, values, positions):
+    """Inclusive segmented argmax along the last axis: at each run-end position,
+    yields the ``positions`` entry of the run's maximum ``values`` element
+    (earliest element on ties)."""
+
+    def combine(a, b):
+        a_flag, a_value, a_position = a
+        b_flag, b_value, b_position = b
+        b_wins = b_flag | (b_value > a_value)
+        return (
+            a_flag | b_flag,
+            jnp.where(b_wins, b_value, a_value),
+            jnp.where(b_wins, b_position, a_position),
+        )
+
+    _, _, scanned_positions = jax.lax.associative_scan(
+        combine, (seg_start, values, positions), axis=-1
+    )
+    return scanned_positions
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank_index"))
@@ -321,8 +364,21 @@ def beam_search_padded(
         merged_total = jnp.logaddexp(merged_b, merged_nb)
         merged_total = jnp.where(run_end, merged_total, _NEG_INF)
 
+        # Each merged run's representative (whose parent/emission chain defines
+        # the hypothesis timesteps) is its best-scoring pre-merge candidate —
+        # flashlight keeps the best candidate's backpointers when merging; an
+        # arbitrary representative yields timesteps from a lower-probability
+        # path to the same prefix.
+        sorted_positions = jnp.broadcast_to(
+            jnp.arange(num_candidates, dtype=jnp.int32)[None, :], (batch, num_candidates)
+        )
+        best_in_run = _segmented_argmax_scan(
+            seg_start, jnp.logaddexp(sorted_b, sorted_nb), sorted_positions
+        )
+
         top_total, top_positions = jax.lax.top_k(merged_total, k_beams)  # [B, K]
-        chosen = jnp.take_along_axis(order, top_positions, axis=-1)  # candidate ids
+        representative = jnp.take_along_axis(best_in_run, top_positions, axis=-1)
+        chosen = jnp.take_along_axis(order, representative, axis=-1)  # candidate ids
         parent = (chosen // classes).astype(jnp.int32)
         token = (chosen % classes).astype(jnp.int32)
         is_stay = token == blank_index

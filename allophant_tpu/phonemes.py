@@ -16,6 +16,7 @@ Differences from the reference by design:
 from __future__ import annotations
 
 import ctypes
+import math
 from enum import IntEnum
 from typing import Any, Dict, List, Sequence, Tuple
 
@@ -72,20 +73,33 @@ class EditStatistics:
         return cls(0, 0, 0, 0)
 
     def word_error_rate(self) -> float:
+        """(S+D+I)/(S+D+C). The reference divides in Rust f64 where an empty
+        reference (S=D=C=0) yields inf/NaN silently (edit_distance.rs:311-333);
+        here that degenerate case returns inf with I>0 and 0.0 when every count
+        is zero, so Python never raises ZeroDivisionError mid-evaluation."""
         substituted_or_deleted = self.substitutions + self.deletions
-        return (substituted_or_deleted + self.insertions) / (substituted_or_deleted + self.correct)
+        expected = substituted_or_deleted + self.correct
+        if expected == 0:
+            return math.inf if self.insertions else 0.0
+        return (substituted_or_deleted + self.insertions) / expected
 
     def _expected_count(self) -> float:
         return float(self.substitutions + self.deletions + self.correct)
 
+    def _rate(self, count: int) -> float:
+        expected = self._expected_count()
+        if expected == 0:
+            return math.inf if count else 0.0
+        return count / expected
+
     def substitution_rate(self) -> float:
-        return self.substitutions / self._expected_count()
+        return self._rate(self.substitutions)
 
     def insertion_rate(self) -> float:
-        return self.insertions / self._expected_count()
+        return self._rate(self.insertions)
 
     def deletion_rate(self) -> float:
-        return self.deletions / self._expected_count()
+        return self._rate(self.deletions)
 
     def _fields(self) -> Tuple[int, int, int, int]:
         return (self.insertions, self.deletions, self.substitutions, self.correct)

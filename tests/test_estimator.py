@@ -34,10 +34,41 @@ TINY_ARCH = Wav2Vec2Architecture(
 )
 
 
-def _make_reference_checkpoint(tmp_path, phoneme_layer="shared", composition=False):
+def _torch_projecting_attention(input_dimensions, hidden_dimensions, num_heads):
+    """Torch twin of the reference's ProjectingMultiheadAttention
+    (acoustic_model.py:237-268): Linear -> LayerNorm -> nn.MultiheadAttention."""
+    import torch
+
+    class TorchPMA(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_projection = torch.nn.Linear(input_dimensions, hidden_dimensions)
+            self.layer_norm = torch.nn.LayerNorm(hidden_dimensions)
+            self.attention = torch.nn.MultiheadAttention(hidden_dimensions, num_heads)
+
+        def forward(self, inputs, key_padding_mask=None):  # inputs [T, B, E]
+            hidden = self.layer_norm(self.input_projection(inputs))
+            return self.attention(
+                hidden, hidden, hidden, key_padding_mask, need_weights=False
+            )[0]
+
+    return TorchPMA().eval()
+
+
+def _make_reference_checkpoint(
+    tmp_path,
+    phoneme_layer="shared",
+    composition=False,
+    attention_heads=None,
+    phoneme_dependencies=None,
+):
     """Synthesizes a checkpoint in the reference's on-disk format: torch.save of the
     marshmallow-dump structure with reference state-dict names, driving the real HF
-    torch wav2vec2 plus torch classifier heads."""
+    torch wav2vec2 plus torch classifier heads.
+
+    ``attention_heads``: {node name -> num_heads} gives those classifiers a
+    ProjectingMultiheadAttention time layer; ``phoneme_dependencies`` overrides the
+    phoneme node's dependency list (hierarchical head)."""
     import torch
     from transformers import Wav2Vec2Config as HFConfig
     from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as TorchWav2Vec2
@@ -45,6 +76,15 @@ def _make_reference_checkpoint(tmp_path, phoneme_layer="shared", composition=Fal
     config_dict = mini_config_dict(
         phoneme_layer=phoneme_layer, embedding_composition=composition, model_type="wav2vec2"
     )
+    attention_heads = attention_heads or {}
+    for entry in config_dict["nn"]["projection"]["classes"]:
+        if entry["name"] in attention_heads:
+            entry["time_layer"] = {
+                "type": "multi-head-attention",
+                "num_heads": attention_heads[entry["name"]],
+            }
+        if entry["name"] == "phoneme" and phoneme_dependencies is not None:
+            entry["dependencies"] = list(phoneme_dependencies)
     config = Config.load(config_dict)
     inventories = LanguageInventories({0: ["a", "b", "d", "t"], 1: ["a", "t", "s"]}, ["es", "it"])
     indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv(), inventories)
@@ -69,24 +109,58 @@ def _make_reference_checkpoint(tmp_path, phoneme_layer="shared", composition=Fal
         f"_acoustic_model._model.{key}": value for key, value in torch_encoder.state_dict().items()
     }
 
-    # Classifier heads: torch Linear per attribute (+ phoneme), reference naming.
+    # Classifier heads: torch Linear (or ProjectingMultiheadAttention) per
+    # attribute (+ phoneme), reference naming.
     torch_heads = {}
     hidden = TINY["hidden_size"]
     for name in CLASSIFIER_FEATURES:
         size = indexer.size(name) + 1
-        layer = torch.nn.Linear(hidden, size)
+        base = f"_projection._layers.{name}._time_distributed_layer"
+        if name in attention_heads:
+            layer = _torch_projecting_attention(hidden, size, attention_heads[name])
+            for key, value in layer.state_dict().items():
+                model_state[f"{base}.{key}"] = value
+        else:
+            layer = torch.nn.Linear(hidden, size)
+            model_state[f"{base}.weight"] = layer.weight.data
+            model_state[f"{base}.bias"] = layer.bias.data
         torch_heads[name] = layer
-        model_state[f"_projection._layers.{name}._time_distributed_layer.weight"] = layer.weight.data
-        model_state[f"_projection._layers.{name}._time_distributed_layer.bias"] = layer.bias.data
+
     if composition:
         embedding_size = config.nn.projection.embedding_composition.embedding_size
         phoneme_out = embedding_size
+    elif phoneme_layer == "allophones":
+        phoneme_out = len(indexer.language_allophones.shared_phones) + 1
     else:
         phoneme_out = len(indexer.phonemes) + 1
-    phoneme_head = torch.nn.Linear(hidden, phoneme_out)
+    phoneme_in = hidden
+    if phoneme_dependencies is not None:
+        # Hierarchical head: concat of OUTPUT plus softmaxed dependency logits.
+        phoneme_in = sum(
+            hidden if dep.startswith("OUTPUT") else indexer.size(dep) + 1
+            for dep in phoneme_dependencies
+        )
+    phoneme_head = torch.nn.Linear(phoneme_in, phoneme_out)
     torch_heads["phoneme"] = phoneme_head
     model_state["_projection._layers.phoneme._time_distributed_layer.weight"] = phoneme_head.weight.data
     model_state["_projection._layers.phoneme._time_distributed_layer.bias"] = phoneme_head.bias.data
+
+    allophone_matrices = None
+    if phoneme_layer == "allophones":
+        # Reference init (blank diag + allophone pattern ones) plus noise at the
+        # pattern positions, so restore parity is observable.
+        from allophant_tpu.models.projection import build_allophone_arrays
+
+        pattern, _gather = build_allophone_arrays(
+            indexer.language_allophones, 1, len(indexer.phonemes)
+        )
+        torch.manual_seed(5)
+        allophone_matrices = torch.from_numpy(pattern) * (
+            1.0 + 0.3 * torch.rand(*pattern.shape)
+        )
+        model_state["_projection._layers.phoneme._allophone_layer._allophone_matrices"] = (
+            allophone_matrices
+        )
 
     composition_weight = None
     if composition:
@@ -119,14 +193,14 @@ def _make_reference_checkpoint(tmp_path, phoneme_layer="shared", composition=Fal
     }
     path = str(tmp_path / "allophant.pt")
     torch.save(checkpoint_data, path)
-    return path, torch_encoder, torch_heads, composition_weight, indexer
+    return path, torch_encoder, torch_heads, composition_weight, indexer, allophone_matrices
 
 
 class TestReferenceCheckpointRestore:
     def test_restore_and_numerical_parity(self, tmp_path):
         import torch
 
-        path, torch_encoder, torch_heads, _, _ = _make_reference_checkpoint(tmp_path)
+        path, torch_encoder, torch_heads, *_ = _make_reference_checkpoint(tmp_path)
         estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
         assert estimator.epoch.epoch == 3
         assert estimator.sample_rate == 16000
@@ -182,7 +256,7 @@ class TestReferenceCheckpointRestore:
     def test_restore_composition_checkpoint(self, tmp_path):
         import torch
 
-        path, torch_encoder, torch_heads, composition_weight, build_indexer = _make_reference_checkpoint(
+        path, torch_encoder, torch_heads, composition_weight, build_indexer, _allo = _make_reference_checkpoint(
             tmp_path, composition=True
         )
         estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
@@ -214,6 +288,121 @@ class TestReferenceCheckpointRestore:
 
         ours = np.asarray(predictions.outputs["phoneme"]).transpose(1, 0, 2)[0]
         np.testing.assert_allclose(ours[: expected.shape[0]], expected, atol=5e-4)
+
+
+def _norm_and_encode(torch_encoder, audio, lengths):
+    """Torch-side preprocessing + encoder shared by the parity tests."""
+    import torch
+
+    samples = audio.shape[1]
+    attention_mask = (np.arange(samples)[None, :] < lengths[:, None]).astype(np.int64)
+    normalized = np.zeros_like(audio)
+    for row, length in enumerate(lengths):
+        valid = audio[row, :length]
+        normalized[row, :length] = (valid - valid.mean()) / np.sqrt(valid.var() + 1e-7)
+    with torch.no_grad():
+        return torch_encoder(
+            torch.from_numpy(normalized),
+            attention_mask=torch.from_numpy(attention_mask),
+            output_hidden_states=True,
+        ).hidden_states[-1]
+
+
+class TestHierarchicalAttentionCheckpoint:
+    def test_restore_attention_and_dependency_parity(self, tmp_path):
+        """Exercises the remaining convert_reference_model_state branches: a
+        ProjectingMultiheadAttention time layer (packed torch in_proj split into
+        q/k/v) and a hierarchical phoneme head consuming softmaxed dependency
+        logits (reference acoustic_model.py:362-461, 494-514)."""
+        import torch
+
+        path, torch_encoder, torch_heads, _cw, _idx, _allo = _make_reference_checkpoint(
+            tmp_path, attention_heads={"nasal": 3}, phoneme_dependencies=["OUTPUT", "nasal"]
+        )
+        estimator, _indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+
+        rng = np.random.default_rng(5)
+        samples = 800
+        audio = rng.standard_normal((2, samples)).astype(np.float32)
+        lengths = np.array([samples, samples - 200])
+        for row, length in enumerate(lengths):
+            audio[row, length:] = 0.0
+
+        predictions = estimator.predict(Batch(audio, lengths, 0), log_probabilities=False)
+        frame_lengths = np.asarray(predictions.lengths)
+
+        hidden = _norm_and_encode(torch_encoder, audio, lengths)
+        frames = hidden.shape[1]
+        valid = torch.arange(frames)[None, :] < torch.from_numpy(frame_lengths[:, None])
+        with torch.no_grad():
+            # Reference layout is time-first into nn.MultiheadAttention.
+            nasal = torch_heads["nasal"](hidden.transpose(0, 1), ~valid).transpose(0, 1)
+            concat = torch.cat((hidden, torch.softmax(nasal, -1)), -1)
+            phoneme = torch_heads["phoneme"](concat)
+
+        frame_mask = valid.numpy()
+        for name, expected in (("nasal", nasal.numpy()), ("phoneme", phoneme.numpy())):
+            ours = np.asarray(predictions.outputs[name]).transpose(1, 0, 2)[:, :frames]
+            difference = np.abs(ours - expected)[frame_mask]
+            assert difference.max() < 2e-3, f"{name}: max diff {difference.max()}"
+
+
+class TestAllophoneCheckpoint:
+    def test_restore_allophone_checkpoint(self, tmp_path):
+        """convert_reference_model_state's allophone branch: matrices restore
+        exactly, predict passes raw phone logits through (reference
+        acoustic_model.py:161-167), and map_allophones reproduces the masked
+        max-pool semantics (:75-87) with the restored weights."""
+        import torch
+
+        from allophant_tpu.models.projection import build_allophone_arrays
+
+        path, torch_encoder, torch_heads, _cw, _idx, allophone_matrices = (
+            _make_reference_checkpoint(tmp_path, phoneme_layer="allophones")
+        )
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+
+        restored = np.asarray(
+            estimator.variables["params"]["projection"]["allophone"]["allophone_matrices"]
+        )
+        expected_matrices = allophone_matrices.numpy()
+        np.testing.assert_allclose(restored, expected_matrices, atol=1e-6)
+
+        # Predict mode: the phone head's raw logits pass through as both tasks.
+        audio = np.random.default_rng(6).standard_normal((1, 800)).astype(np.float32)
+        predictions = estimator.predict(Batch(audio, np.array([800]), 0), log_probabilities=False)
+        hidden = _norm_and_encode(torch_encoder, audio, np.array([800]))
+        with torch.no_grad():
+            expected_phone = torch_heads["phoneme"](hidden).numpy()
+        for name in ("phone", "phoneme"):
+            ours = np.asarray(predictions.outputs[name]).transpose(1, 0, 2)
+            difference = np.abs(ours[:, : expected_phone.shape[1]] - expected_phone)
+            assert difference.max() < 5e-4, f"{name}: max diff {difference.max()}"
+
+        # Training-mode mapping with the restored weights matches the reference's
+        # multiply -> mask -> max-over-phones formulation.
+        pattern = (
+            build_allophone_arrays(indexer.language_allophones, 1, len(indexer.phonemes))[0] != 0
+        )
+        rng = np.random.default_rng(7)
+        time, batch = 4, 2
+        num_shared = expected_matrices.shape[1]
+        language_ids = np.array([0, 1])
+        phone_logits = rng.standard_normal((time, batch, num_shared)).astype(np.float32)
+        mapped = np.asarray(estimator.map_allophones(phone_logits, language_ids))
+        for row, language in enumerate(language_ids):
+            matrix = expected_matrices[language]
+            for t in range(time):
+                products = phone_logits[t, row][:, None] * matrix
+                for phoneme in range(matrix.shape[1]):
+                    allophones = pattern[language][:, phoneme]
+                    if allophones.any():
+                        expected_value = products[allophones, phoneme].max()
+                        assert mapped[t, row, phoneme] == pytest.approx(expected_value, rel=1e-4)
+                    else:
+                        # Reference fills with -FLT_MAX; we use -1e9 (same zero
+                        # probability after softmax, finite CTC gradients).
+                        assert mapped[t, row, phoneme] <= -1e8
 
 
 class TestNativeCheckpoint:

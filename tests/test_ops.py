@@ -47,6 +47,61 @@ class TestCTCLoss:
         )
         assert loss == 0.0
 
+    def test_zero_infinity_counts_required_blanks(self):
+        """Infeasibility is exact: repeated labels need an intervening blank, so
+        N labels with R repeats require N+R frames (torch zero_infinity zeroes
+        exactly these inf losses)."""
+        import torch
+
+        rng = np.random.default_rng(4)
+        classes = 5
+        # (labels, logit_length): [a, a] needs 3 frames -> infeasible at T=2,
+        # feasible at T=3; distinct labels [a, b] are feasible at T=2.
+        cases = [
+            (np.array([[2, 2]]), 2),
+            (np.array([[2, 2]]), 3),
+            (np.array([[2, 3]]), 2),
+            (np.array([[2, 2, 2]]), 4),
+            (np.array([[2, 2, 2]]), 5),
+        ]
+        for labels, logit_length in cases:
+            logits = rng.standard_normal((1, logit_length, classes)).astype(np.float32)
+            label_lengths = np.array([labels.shape[1]])
+            ours = float(
+                ctc_loss_sum(
+                    jnp.asarray(logits),
+                    jnp.asarray([logit_length]),
+                    jnp.asarray(labels),
+                    jnp.asarray(label_lengths),
+                )
+            )
+            torch_loss = torch.nn.CTCLoss(reduction="sum", zero_infinity=True)
+            log_probs = torch.log_softmax(torch.from_numpy(logits), -1).transpose(0, 1)
+            expected = float(
+                torch_loss(
+                    log_probs,
+                    torch.from_numpy(labels),
+                    torch.tensor([logit_length]),
+                    torch.from_numpy(label_lengths),
+                )
+            )
+            assert ours == pytest.approx(expected, rel=1e-4), (labels, logit_length)
+
+    def test_large_feasible_loss_not_zeroed(self):
+        """A feasible alignment with a huge summed loss must survive (the old
+        heuristic zeroed losses above 1e7)."""
+        classes = 4
+        time = 8
+        # Extremely confident wrong predictions: loss is astronomically large
+        # but the alignment [1] over 8 frames exists.
+        logits = np.full((1, time, classes), -2e6, dtype=np.float32)
+        logits[:, :, 3] = 2e6
+        labels = np.array([[1]])
+        loss = float(
+            ctc_loss_sum(jnp.asarray(logits), jnp.asarray([time]), jnp.asarray(labels), jnp.asarray([1]))
+        )
+        assert loss > 1e7
+
     def test_sequence_cross_entropy(self):
         import torch
 
@@ -166,6 +221,51 @@ class TestDeviceBeamDecoder:
         for row in range(batch):
             np.testing.assert_array_equal(host_out[row][0].tokens, device_out[row][0].tokens)
             assert host_out[row][0].score == pytest.approx(device_out[row][0].score, abs=1e-3)
+
+    def test_timesteps_match_host_on_merged_prefixes(self):
+        """n-best timesteps are part of the prediction format: merged prefixes
+        must keep the best-scoring path's emission times in both beams."""
+        import jax
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        rng = np.random.default_rng(11)
+        batch, time, classes = 6, 16, 5
+        # Near-uniform emissions maximize prefix merging (many paths tie into
+        # the same short prefixes).
+        logits = rng.standard_normal((batch, time, classes)).astype(np.float32) * 0.5
+        log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        lengths = np.array([16, 12, 9, 16, 7, 4])
+
+        host = BeamCTCDecoder([str(i) for i in range(classes)], beam_width=8, n_best=3)
+        device = DeviceBeamCTCDecoder([str(i) for i in range(classes)], beam_width=8, n_best=3)
+        host_out = host(log_probs, lengths)
+        device_out = device(log_probs, lengths)
+        for row in range(batch):
+            for host_hyp, device_hyp in zip(host_out[row], device_out[row]):
+                np.testing.assert_array_equal(host_hyp.tokens, device_hyp.tokens)
+                np.testing.assert_array_equal(
+                    host_hyp.timesteps,
+                    device_hyp.timesteps,
+                    err_msg=f"timestep mismatch in row {row}",
+                )
+
+    def test_merged_prefix_keeps_best_path_timesteps(self):
+        """Hand-built merge: prefix (a,) is reachable by emitting `a` at t=0
+        (strong) or t=1 (weak); the merged hypothesis must report t=1-based
+        timestep of the stronger path."""
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        # t0: a likely, t1: blank likely (so late-a path is weaker).
+        log_probs = np.log(
+            np.array([[[0.2, 0.8], [0.7, 0.3]]], dtype=np.float32)
+        )
+        for decoder in (
+            BeamCTCDecoder(["<blank>", "a"], beam_width=4),
+            DeviceBeamCTCDecoder(["<blank>", "a"], beam_width=4),
+        ):
+            result = decoder(log_probs, np.array([2]))[0][0]
+            assert result.tokens.tolist() == [1]
+            assert result.timesteps.tolist() == [1]
 
     def test_beam_sums_paths_device(self):
         from allophant_tpu.ops.decode import DeviceBeamCTCDecoder

@@ -88,6 +88,20 @@ class TestLevenshtein:
         stats = levensthein_statistics(list("abc"), list("abc"))
         assert stats == EditStatistics(0, 0, 0, 3)
 
+    def test_degenerate_rates_do_not_raise(self):
+        """Empty references: insertions-only yields inf (matching the
+        reference's Rust f64 division), all-zero yields 0.0 — never
+        ZeroDivisionError (an empty reference with predictions is reachable
+        through evaluate)."""
+        import math
+
+        insertions_only = EditStatistics(3, 0, 0, 0)
+        assert insertions_only.word_error_rate() == math.inf
+        assert insertions_only.insertion_rate() == math.inf
+        empty = EditStatistics(0, 0, 0, 0)
+        assert empty.word_error_rate() == 0.0
+        assert empty.substitution_rate() == 0.0
+
     def test_statistics_empty(self):
         stats = levensthein_statistics([], list("ab"))
         assert stats == EditStatistics(2, 0, 0, 0)

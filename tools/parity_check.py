@@ -85,6 +85,98 @@ def check_activations(model_id: str, seconds: float = 2.0, tolerance: float = 2e
     return 0 if worst <= tolerance else 1
 
 
+def check_fullsize(seconds: float = 2.0, tolerance: float = 5e-3) -> int:
+    """Full-size (XLS-R 300m: 24 layers x 1024 dims) HF<->flax activation diff on
+    *random* weights, in f32 and bf16. No released checkpoint is needed: random
+    weights exercise the identical computation graph, so the recorded worst-layer
+    drift is the number that predicts PER slippage at depth (SURVEY.md §7.3).
+    The f32 run must stay within ``tolerance``; the bf16 run is reported as the
+    expected serving-precision envelope (not gated)."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers.models.wav2vec2.modeling_wav2vec2 import Wav2Vec2Model as TorchWav2Vec2
+
+    from allophant_tpu.models.hf_conversion import convert_wav2vec2_state
+    from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture, Wav2Vec2Model
+
+    hf_config = HFConfig(
+        hidden_size=1024,
+        num_hidden_layers=24,
+        num_attention_heads=16,
+        intermediate_size=4096,
+        conv_dim=(512,) * 7,
+        conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2),
+        conv_bias=True,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        num_conv_pos_embeddings=128,
+        num_conv_pos_embedding_groups=16,
+        hidden_dropout=0.0,
+        activation_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        layerdrop=0.0,
+        apply_spec_augment=False,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    torch_model = TorchWav2Vec2(hf_config).eval()
+    arch = Wav2Vec2Architecture.from_hf_config(hf_config)
+    arch = Wav2Vec2Architecture(**{**arch.__dict__, "do_normalize": False})
+
+    rng = np.random.default_rng(0)
+    samples = int(16_000 * seconds)
+    audio = rng.standard_normal((2, samples)).astype(np.float32)
+    lengths = np.array([samples, samples * 3 // 4])
+    for row, length in enumerate(lengths):
+        audio[row, length:] = 0.0
+    attention_mask = (np.arange(samples)[None, :] < lengths[:, None]).astype(np.int64)
+
+    with torch.no_grad():
+        torch_hidden = [
+            state.numpy()
+            for state in torch_model(
+                torch.from_numpy(audio),
+                attention_mask=torch.from_numpy(attention_mask),
+                output_hidden_states=True,
+            ).hidden_states
+        ]
+
+    state = {key: value.numpy() for key, value in torch_model.state_dict().items()}
+    params = convert_wav2vec2_state(state, arch)
+    status = 0
+    for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
+        hidden_states, frame_lengths = Wav2Vec2Model(arch, dtype=dtype).apply(
+            {"params": params}, jnp.asarray(audio), jnp.asarray(lengths), deterministic=True
+        )
+        frame_lengths = np.asarray(frame_lengths)
+        frame_mask = np.arange(torch_hidden[0].shape[1])[None, :] < frame_lengths[:, None]
+        worst_abs = worst_rel = 0.0
+        worst_layer = -1
+        for layer_id, (ours, theirs) in enumerate(zip(hidden_states, torch_hidden)):
+            ours = np.asarray(ours, dtype=np.float32)
+            difference = np.abs(ours - theirs)[frame_mask]
+            scale = max(float(np.abs(theirs[frame_mask]).max()), 1e-6)
+            layer_abs = float(difference.max())
+            if layer_abs > worst_abs:
+                worst_abs = layer_abs
+                worst_layer = layer_id
+            worst_rel = max(worst_rel, layer_abs / scale)
+            print(
+                f"[{dtype_name}] layer {layer_id:2d}: max |diff| {layer_abs:.3e}"
+                f" rms {float(np.sqrt((difference ** 2).mean())):.3e}"
+            )
+        print(
+            f"[{dtype_name}] worst: layer {worst_layer} max |diff| {worst_abs:.3e}"
+            f" (relative {worst_rel:.3e})"
+        )
+        if dtype_name == "float32" and worst_abs > tolerance:
+            status = 1
+    return status
+
+
 def check_checkpoint(path: str) -> int:
     import jax
 
@@ -148,6 +240,10 @@ def main(argv=None) -> int:
     activations.add_argument("--seconds", type=float, default=2.0)
     activations.add_argument("--tolerance", type=float, default=2e-3)
 
+    fullsize = commands.add_parser("fullsize")
+    fullsize.add_argument("--seconds", type=float, default=2.0)
+    fullsize.add_argument("--tolerance", type=float, default=5e-3)
+
     checkpoint = commands.add_parser("checkpoint")
     checkpoint.add_argument("path")
 
@@ -160,6 +256,8 @@ def main(argv=None) -> int:
     arguments = parser.parse_args(argv)
     if arguments.command == "activations":
         return check_activations(arguments.model_id, arguments.seconds, arguments.tolerance)
+    if arguments.command == "fullsize":
+        return check_fullsize(arguments.seconds, arguments.tolerance)
     if arguments.command == "checkpoint":
         return check_checkpoint(arguments.path)
     return check_error_rates(
