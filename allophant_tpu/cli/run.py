@@ -90,6 +90,11 @@ def train_network(arguments: Namespace) -> None:
             else restore_path
         )
         checkpoint = checkpoint_module.load_checkpoint(candidate)
+        if arguments.config is not None or arguments.config_json_data is not None:
+            # Explicit config on resume overrides the checkpoint's embedded one
+            # (e.g. to extend maximum_iterations); the architecture must stay
+            # compatible with the stored parameters.
+            checkpoint.config = _load_config_file(arguments.config, arguments.config_json_data)
         config = checkpoint.config
     else:
         config = _load_config_file(arguments.config, arguments.config_json_data)
@@ -161,22 +166,45 @@ def train_network(arguments: Namespace) -> None:
     if tensorboard_directory == "":
         tensorboard_directory = os.path.join("runs", "allophant")
 
-    for status, statistics in estimator.train(manager, tensorboard_directory):
+    skip_batches = arguments.skip_batches
+    if skip_batches < 0:
+        # Auto-resume: skip the batches the checkpoint's current epoch already
+        # consumed (recorded at every validation point).
+        skip_batches = int(estimator.epoch.step or 0) if arguments.restore else 0
+
+    import jax
+
+    run = estimator.train(
+        manager,
+        tensorboard_directory,
+        skip_batches=skip_batches,
+        show_progress=not arguments.no_progress and jax.process_index() == 0,
+    )
+    for status, statistics in run:
         MAIN_LOGGER.info("%s", statistics)
         if not arguments.no_progress:
             print(statistics, flush=True)
-        if arguments.save_path is not None and status not in (
+        # On multi-host topologies only the first process writes checkpoints
+        # (all processes hold identical replicated state).
+        if arguments.save_path is not None and jax.process_index() == 0 and status not in (
             TrainingStatus.FINISHED,
             TrainingStatus.EARLY_STOPPED,
         ):
             indexer_state = manager.processor.indexer_state()
+            training_state = run.serialized_training_state()
             if arguments.save_all:
                 epoch_path = os.path.join(arguments.save_path, _checkpoint_name(statistics.epoch))
-                estimator.save(epoch_path, phonetic_indexer_state=indexer_state)
+                estimator.save(
+                    epoch_path, optimizer_state=training_state, phonetic_indexer_state=indexer_state
+                )
                 if status == TrainingStatus.IMPROVED:
                     shutil.copy2(epoch_path, os.path.join(arguments.save_path, BEST_CHECKPOINT))
             elif status == TrainingStatus.IMPROVED:
-                estimator.save(arguments.save_path, phonetic_indexer_state=indexer_state)
+                estimator.save(
+                    arguments.save_path,
+                    optimizer_state=training_state,
+                    phonetic_indexer_state=indexer_state,
+                )
         if status == TrainingStatus.EARLY_STOPPED and not arguments.no_progress:
             print("Training stopped early", flush=True)
 
@@ -594,6 +622,11 @@ def make_parser() -> ArgumentParser:
     train_parser.add_argument(
         "--detect-anomaly", action="store_true",
         help="Enables jax debug_nans to trace NaNs during training",
+    )
+    train_parser.add_argument(
+        "--skip-batches", type=int, default=-1,
+        help="Batches of the current epoch to skip when resuming (-1 resumes"
+        " from the checkpoint's recorded position with --restore; 0 disables)",
     )
     preprocessed_group = train_parser.add_mutually_exclusive_group()
     preprocessed_group.add_argument(

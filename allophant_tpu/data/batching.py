@@ -173,17 +173,33 @@ def build_batch(
     length_multiple: int = 128,
     pad_batch_to_power_of_two: bool = False,
     label_multiple: int = 8,
+    pad_to_length: Optional[int] = None,
+    pad_to_batch: Optional[int] = None,
+    label_pad: Optional[Dict[str, int]] = None,
 ) -> Batch:
     """Collates samples into a statically bucketed dense batch. Sequence length is
     rounded up to ``length_multiple``; the batch dimension optionally to a power of
-    two with zero-length filler rows (masked out by lengths downstream)."""
+    two with zero-length filler rows (masked out by lengths downstream).
+
+    ``pad_to_length`` / ``pad_to_batch`` / ``label_pad`` override the locally
+    derived pad targets — multi-host batching passes *global* targets so every
+    process's local slice assembles into one consistently shaped distributed
+    array."""
     batch_size = len(samples)
     padded_batch = batch_size
     if pad_batch_to_power_of_two and batch_size > 0:
         padded_batch = 1 << (batch_size - 1).bit_length()
+    if pad_to_batch is not None:
+        padded_batch = max(padded_batch, pad_to_batch)
 
     max_length = max(sample.length for sample in samples)
     padded_length = _round_up(max_length, length_multiple)
+    if pad_to_length is not None:
+        if pad_to_length < max_length:
+            raise ValueError(
+                f"Global pad target {pad_to_length} is shorter than a local sample ({max_length})"
+            )
+        padded_length = _round_up(pad_to_length, length_multiple)
     feature_shape = samples[0].features.shape[1:] if samples[0].features.ndim > 1 else ()
 
     audio = np.zeros((padded_batch, padded_length, *feature_shape), dtype=np.float32)
@@ -193,10 +209,11 @@ def build_batch(
         audio[row, : sample.length] = sample.features
         lengths[row] = sample.length
         language_ids[row] = sample.language_id
-    # Filler rows keep the last real language id so allophone gathers stay in range.
+    # Filler rows keep the last real language id so allophone gathers stay in
+    # range; their length stays 0, which downstream converts into a zero row
+    # weight (no loss contribution) before clamping for masking math.
     if padded_batch > batch_size:
         language_ids[batch_size:] = language_ids[batch_size - 1] if batch_size else 0
-        lengths[batch_size:] = 1
 
     if batch_type == BatchType.UNLABELED:
         return Batch(audio, lengths, language_ids)
@@ -220,7 +237,10 @@ def build_batch(
     label_lengths: Dict[str, np.ndarray] = {}
     for name in attribute_names:
         per_sample = [np.asarray(sample.attribute_indices[name]) for sample in samples]
-        max_labels = _round_up(max((len(labels) for labels in per_sample), default=1), label_multiple)
+        local_max = max((len(labels) for labels in per_sample), default=1)
+        if label_pad is not None:
+            local_max = max(local_max, label_pad.get(name, 0))
+        max_labels = _round_up(local_max, label_multiple)
         packed = np.zeros((padded_batch, max(max_labels, 1)), dtype=np.int32)
         lengths_array = np.zeros(padded_batch, dtype=np.int32)
         for row, labels in enumerate(per_sample):
@@ -288,7 +308,17 @@ class Batcher:
         shuffle: bool = False,
         seed: Optional[int] = None,
         skip_batches: int = 0,
+        process_shard: Optional[tuple] = None,
+        shard_multiple: int = 1,
     ) -> Iterator[Batch]:
+        """``process_shard=(process_index, process_count)`` enables multi-host
+        loading: every process draws the *same* deterministic batch sequence (same
+        seed) but materializes audio only for its contiguous row slice, padded to
+        globally agreed shapes so `jax.make_array_from_process_local_data` can
+        assemble the distributed batch. Requires ``data_lengths`` in feature-frame
+        units (RAW audio or precomputed features). ``shard_multiple`` rounds the
+        global batch row count up to a multiple (total device count) with filler
+        rows so every step shards evenly."""
         corpus = data.corpus
         rng = np.random.default_rng(seed)
 
@@ -310,15 +340,81 @@ class Batcher:
 
         index_batches: Iterable[List[int]] = SkipBatchSampler(batch_sampler, skip_batches)
 
-        def generate() -> Iterator[Batch]:
-            for indices in index_batches:
-                samples = [data[index] for index in indices]
-                yield build_batch(
-                    samples, data.batch_type, self._length_multiple, self._pad_batch,
-                    self._label_multiple,
-                )
-
-        iterator = generate()
+        if process_shard is not None and process_shard[1] > 1:
+            iterator = self._generate_process_slices(
+                data, data_lengths, index_batches, process_shard, shard_multiple
+            )
+        else:
+            iterator = self._generate_full(data, index_batches)
         if self._prefetch:
             iterator = _prefetch(iterator)
         yield from iterator
+
+    def _generate_full(self, data: PhonemeDataset, index_batches) -> Iterator[Batch]:
+        for indices in index_batches:
+            samples = [data[index] for index in indices]
+            yield build_batch(
+                samples, data.batch_type, self._length_multiple, self._pad_batch,
+                self._label_multiple,
+            )
+
+    def _generate_process_slices(
+        self, data: PhonemeDataset, data_lengths, index_batches, process_shard, shard_multiple
+    ) -> Iterator[Batch]:
+        process_index, process_count = process_shard
+        if data_lengths is None:
+            raise ValueError(
+                "Multi-host batching needs per-utterance frame lengths to agree on"
+                " global pad targets without loading every host's audio"
+            )
+        data_lengths = np.asarray(data_lengths)
+
+        for indices in index_batches:
+            # Global row count padded so it splits evenly over processes and
+            # devices; filler rows carry zero lengths and are excluded from the
+            # loss via row weights downstream.
+            global_rows = _round_up(len(indices), max(process_count * shard_multiple, 1))
+            local_rows = global_rows // process_count
+            start = process_index * local_rows
+            local_indices = indices[start : start + local_rows]
+
+            # Global pad targets every process derives identically: audio length
+            # from the precomputed length table, label widths from the (audio-free)
+            # label path for rows other hosts own.
+            pad_to_length = int(max(data_lengths[index] for index in indices))
+            label_pad: Optional[Dict[str, int]] = None
+            if data.batch_type == BatchType.INDEXED:
+                local_set = set(local_indices)
+                label_pad = {}
+                for index in indices:
+                    if index in local_set:
+                        continue  # counted from the fully loaded samples below
+                    for name, labels in data.sample_labels(index).items():
+                        label_pad[name] = max(label_pad.get(name, 0), len(labels))
+
+            samples = [data[index] for index in local_indices]
+            if samples and label_pad is not None:
+                for sample in samples:
+                    for name, labels in (sample.attribute_indices or {}).items():
+                        label_pad[name] = max(label_pad.get(name, 0), len(labels))
+            if not samples:
+                # Degenerate tail (fewer rows than processes): materialize one
+                # sample as a shape template and turn it into zero-length filler.
+                template = data[indices[0]]
+                template.features = template.features[:0]
+                template.length = 0
+                if template.attribute_indices is not None:
+                    template.attribute_indices = {
+                        name: values[:0] for name, values in template.attribute_indices.items()
+                    }
+                samples = [template]
+            yield build_batch(
+                samples,
+                data.batch_type,
+                self._length_multiple,
+                self._pad_batch,
+                self._label_multiple,
+                pad_to_length=pad_to_length,
+                pad_to_batch=local_rows,
+                label_pad=label_pad,
+            )

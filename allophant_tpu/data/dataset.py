@@ -94,6 +94,33 @@ class PhonemeDataset:
             [phoneme for phoneme in sentence if phoneme in inventory] for sentence in segmented_entries
         )
 
+    def _indexed_labels(
+        self, language_id: int, segmented_entries: Iterable[List[str]]
+    ) -> Dict[str, np.ndarray]:
+        """One concatenated label sequence per attribute, blank offset applied."""
+        filtered = self._filter_with_inventory(language_id, segmented_entries)
+        merged: Dict[str, List[np.ndarray]] = {}
+        for sentence in filtered:
+            named = self._indexer.get_named(
+                self._indexer.phoneme_indices(sentence), self._index_start_offset
+            )
+            for name, values in named.items():
+                merged.setdefault(name, []).append(values)
+        return {
+            name: np.concatenate(values) if values else np.empty(0, dtype=np.int64)
+            for name, values in merged.items()
+        }
+
+    def _entry_segments(self, item: IndexedEntry) -> Iterable[List[str]]:
+        raise NotImplementedError
+
+    def sample_labels(self, index: int) -> Dict[str, np.ndarray]:
+        """Per-attribute label ids for one item *without* touching audio — used by
+        multi-host batching, where every process needs global label pad targets but
+        loads only its own slice's audio."""
+        item = self._corpus[index]
+        return self._indexed_labels(item.language_id, self._entry_segments(item))
+
     def _generate_sample(self, index: int, item: IndexedEntry, segmented_entries: Iterable[List[str]]) -> Sample:
         language_id = item.language_id
         if self._features is None:
@@ -107,19 +134,7 @@ class PhonemeDataset:
         if self._batch_type == BatchType.UNLABELED:
             return Sample(features, length, language_id)
         if self._batch_type == BatchType.INDEXED:
-            filtered = self._filter_with_inventory(language_id, segmented_entries)
-            # One concatenated label sequence per attribute, blank offset applied.
-            merged: Dict[str, List[np.ndarray]] = {}
-            for sentence in filtered:
-                named = self._indexer.get_named(
-                    self._indexer.phoneme_indices(sentence), self._index_start_offset
-                )
-                for name, values in named.items():
-                    merged.setdefault(name, []).append(values)
-            attribute_indices = {
-                name: np.concatenate(values) if values else np.empty(0, dtype=np.int64)
-                for name, values in merged.items()
-            }
+            attribute_indices = self._indexed_labels(language_id, segmented_entries)
             return Sample(features, length, language_id, attribute_indices=attribute_indices)
         # RAW
         return Sample(
@@ -161,9 +176,12 @@ class TranscribedDataset(PhonemeDataset):
     def unrestricted_inventory(self) -> bool:
         return self._unrestricted_inventory
 
+    def _entry_segments(self, item: IndexedEntry) -> Iterable[List[str]]:
+        return item.entry.phonemes.flattened_transcriptions()
+
     def __getitem__(self, index: int) -> Sample:
         item = self._corpus[index]
-        return self._generate_sample(index, item, item.entry.phonemes.flattened_transcriptions())
+        return self._generate_sample(index, item, self._entry_segments(item))
 
 
 class PhoneticallySegmentedDataset(PhonemeDataset):
@@ -187,6 +205,9 @@ class PhoneticallySegmentedDataset(PhonemeDataset):
         self._inventories = inventories
         self._indexer = processor.attribute_indexer.full_subset_attributes
 
+    def _entry_segments(self, item: IndexedEntry) -> Iterable[List[str]]:
+        return (item.entry.phonemes,)
+
     def __getitem__(self, index: int) -> Sample:
         item = self._corpus[index]
-        return self._generate_sample(index, item, (item.entry.phonemes,))
+        return self._generate_sample(index, item, self._entry_segments(item))

@@ -18,22 +18,48 @@ from typing import List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
+# The full PHOIBLE feature column set the reference's default config classifies
+# over ("tone" is a feature column but not a classifier): 36 attribute heads +
+# the phoneme head = the reference's 37 classifiers
+# (/root/reference/allophant/package_data/default_config.toml:61-99).
 DEMO_FEATURES = [
     "tone",
     "stress",
     "syllabic",
+    "short",
+    "long",
     "consonantal",
     "sonorant",
     "continuant",
+    "delayedRelease",
+    "approximant",
+    "tap",
+    "trill",
     "nasal",
+    "lateral",
     "labial",
     "round",
+    "labiodental",
     "coronal",
+    "anterior",
+    "distributed",
+    "strident",
     "dorsal",
     "high",
     "low",
     "front",
     "back",
+    "tense",
+    "retractedTongueRoot",
+    "advancedTongueRoot",
+    "periodicGlottalSource",
+    "epilaryngealSource",
+    "spreadGlottis",
+    "constrictedGlottis",
+    "fortis",
+    "raisedLarynxEjective",
+    "loweredLarynxImplosive",
+    "click",
 ]
 
 _METADATA_COLUMNS = [

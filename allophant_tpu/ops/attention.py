@@ -56,16 +56,18 @@ def fused_attention(
         return reference_attention(query, key, value, pad_mask, sm_scale)
 
     from allophant_tpu.ops.oneshot_attention import (
-        MAX_HEADBLOCK_TIME,
+        MAX_QBLOCK_TIME,
         NEG_INF,
         oneshot_attention,
     )
 
     pad = _pad_to_block(time)
-    if time + pad <= MAX_HEADBLOCK_TIME:
-        # Short sequences (the common ASR case): single-pass kernel over the
-        # [B, T, H*hd] projection layout — no head transposes, full score tile
-        # in VMEM. ~3x faster than the flash path at T=512, B=64 on v5e.
+    if time + pad <= MAX_QBLOCK_TIME:
+        # Sequences up to ~3 min of audio: single-pass exact-softmax kernels
+        # over the [B, T, H*hd] projection layout — no head transposes; the
+        # score tile shrinks from full [T, T] through head-blocked to
+        # query-blocked as T grows. ~3x faster than the flash path at T=512,
+        # B=64 on v5e.
         model_dim = heads * head_dim
         q = query.reshape(batch, time, model_dim)
         k = key.reshape(batch, time, model_dim)

@@ -46,6 +46,15 @@ MAX_ONESHOT_TIME = 768
 # 1536 frames (~46 s audio) keeps it under budget.
 MAX_HEADBLOCK_TIME = 1536
 _HEADS_PER_BLOCK = 2
+# Past the head-blocked limit, the query axis is additionally blocked: each grid
+# cell computes [Tq, T] scores for its heads with the FULL key axis resident, so
+# the softmax is still exact in one pass (no flash-style online rescaling). The
+# [Tq, T] f32 score tile bounds VMEM: at Tq=256, T=6144 it is 6 MB + two
+# [T, 128] k/v tiles (3 MB) — comfortably under the ~16 MB budget. Re-reading
+# k/v once per query block costs T/Tq times more k/v DMA, which is negligible
+# against the T^2 score work.
+MAX_QBLOCK_TIME = 6144
+_QUERY_BLOCK = 256
 
 
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
@@ -72,42 +81,96 @@ def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim
         out_ref[0, :, lo:hi] = context.astype(out_ref.dtype)
 
 
+def _qblock_attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
+    """One query block x full key axis per cell: exact softmax, no rescaling."""
+    bias = bias_ref[0] * _LOG2E  # [1, T]
+    for head in range(heads):
+        lo = head * head_dim
+        hi = lo + head_dim
+        q = q_ref[0, :, lo:hi]  # [Tq, hd]
+        k = k_ref[0, :, lo:hi]  # [T, hd]
+        v = v_ref[0, :, lo:hi]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        scores = scores * (sm_scale * _LOG2E) + bias
+        peak = jnp.max(scores, axis=-1, keepdims=True)
+        exps = jnp.exp2(scores - peak)
+        total = jnp.sum(exps, axis=-1, keepdims=True)
+        probabilities = (exps / total).astype(v.dtype)
+        context = jax.lax.dot_general(
+            probabilities, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out_ref[0, :, lo:hi] = context.astype(out_ref.dtype)
+
+
 def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=False):
     """query/key/value: [B, T, H*hd] (T a multiple of 128), key_bias: [B, T] f32."""
     batch, time, model_dim = query.shape
     key_bias = key_bias[:, None, :]  # [B, 1, T]: blocks need >=2 trailing dims
     head_dim = model_dim // heads
-    bias_spec = pl.BlockSpec(
-        (1, 1, time), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-    )
+    heads_per_block = _HEADS_PER_BLOCK if heads % _HEADS_PER_BLOCK == 0 else 1
     if time <= MAX_ONESHOT_TIME:
-        heads_per_block = heads
         grid: tuple = (batch,)
+        bias_spec = pl.BlockSpec((1, 1, time), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         qkv_spec = pl.BlockSpec(
             (1, time, model_dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
-    else:
+        kernel = functools.partial(
+            _attention_kernel, heads=heads, head_dim=head_dim, sm_scale=np.float32(sm_scale)
+        )
+        in_specs = [bias_spec, qkv_spec, qkv_spec, qkv_spec]
+        out_spec = qkv_spec
+    elif time <= MAX_HEADBLOCK_TIME:
         # Long utterances: block the head dimension so one [T, T] score tile at
         # a time fits in VMEM alongside narrow [T, hb*hd] q/k/v tiles. An odd
         # head count falls back to one head per cell (slower DMA, correct).
-        heads_per_block = _HEADS_PER_BLOCK if heads % _HEADS_PER_BLOCK == 0 else 1
         grid = (batch, heads // heads_per_block)
+        bias_spec = pl.BlockSpec((1, 1, time), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
         qkv_spec = pl.BlockSpec(
             (1, time, heads_per_block * head_dim),
             lambda b, h: (b, 0, h),
             memory_space=pltpu.VMEM,
         )
-    kernel = functools.partial(
-        _attention_kernel,
-        heads=heads_per_block,
-        head_dim=head_dim,
-        sm_scale=np.float32(sm_scale),
-    )
+        kernel = functools.partial(
+            _attention_kernel,
+            heads=heads_per_block,
+            head_dim=head_dim,
+            sm_scale=np.float32(sm_scale),
+        )
+        in_specs = [bias_spec, qkv_spec, qkv_spec, qkv_spec]
+        out_spec = qkv_spec
+    else:
+        # Very long utterances: block the query axis too. Scores stay [Tq, T]
+        # with the whole key axis resident, keeping the softmax single-pass.
+        query_block = _QUERY_BLOCK if time % _QUERY_BLOCK == 0 else 128
+        grid = (batch, heads // heads_per_block, time // query_block)
+        bias_spec = pl.BlockSpec(
+            (1, 1, time), lambda b, h, qb: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        q_spec = pl.BlockSpec(
+            (1, query_block, heads_per_block * head_dim),
+            lambda b, h, qb: (b, qb, h),
+            memory_space=pltpu.VMEM,
+        )
+        kv_spec = pl.BlockSpec(
+            (1, time, heads_per_block * head_dim),
+            lambda b, h, qb: (b, 0, h),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = functools.partial(
+            _qblock_attention_kernel,
+            heads=heads_per_block,
+            head_dim=head_dim,
+            sm_scale=np.float32(sm_scale),
+        )
+        in_specs = [bias_spec, q_spec, kv_spec, kv_spec]
+        out_spec = q_spec
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[bias_spec, qkv_spec, qkv_spec, qkv_spec],
-        out_specs=qkv_spec,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
         interpret=interpret,
     )(key_bias, query, key, value)
@@ -146,10 +209,43 @@ def _oneshot_fwd(query, key, value, key_bias, sm_scale, heads):
     )
 
 
+# Above this per-tensor score size (f32 [B, H, T, T]) the einsum backward's two
+# materialized weight tensors dominate HBM; the flash kernel's tiled backward
+# takes over. The flagship remat config (B=64, H=16, T=512: ~1 GiB) stays on
+# the faster einsum path.
+_EINSUM_BACKWARD_SCORE_BYTES = 2 << 30
+
+
+def _flash_bthd(query, key, value, key_bias, sm_scale, heads):
+    """Differentiable flash-attention formulation over the kernel's [B, T, H*hd]
+    layout; backward never materializes [B, H, T, T] (used for long-sequence
+    training where the einsum backward would)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds, flash_attention
+
+    batch, time, model_dim = query.shape
+    head_dim = model_dim // heads
+    shape = (batch, time, heads, head_dim)
+    q = jnp.transpose(query.reshape(shape), (0, 2, 1, 3))
+    k = jnp.transpose(key.reshape(shape), (0, 2, 1, 3))
+    v = jnp.transpose(value.reshape(shape), (0, 2, 1, 3))
+    # The additive key bias is 0 (valid) / NEG_INF (padded); flash expresses the
+    # same mask as mismatched segment ids.
+    segments = jnp.where(key_bias > NEG_INF / 2, 1, 2).astype(jnp.int32)
+    out = flash_attention(q, k, v, segment_ids=SegmentIds(segments, segments), sm_scale=sm_scale)
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(batch, time, model_dim)
+
+
 def _oneshot_bwd(sm_scale, heads, residuals, cotangent):
     query, key, value, key_bias = residuals
+    batch, time, _model_dim = query.shape
+    score_bytes = 4 * batch * heads * time * time
+    use_flash = score_bytes > _EINSUM_BACKWARD_SCORE_BYTES and jax.default_backend() in (
+        "tpu",
+        "axon",
+    )
+    formulation = _flash_bthd if use_flash else _reference_bthd
     _, vjp = jax.vjp(
-        lambda q, k, v: _reference_bthd(q, k, v, key_bias, sm_scale, heads), query, key, value
+        lambda q, k, v: formulation(q, k, v, key_bias, sm_scale, heads), query, key, value
     )
     d_query, d_key, d_value = vjp(cotangent)
     return d_query, d_key, d_value, None

@@ -113,6 +113,9 @@ class Estimator:
     history: List[Any] = dataclasses.field(default_factory=list)
     epoch: EpochPosition = dataclasses.field(default_factory=EpochPosition)
     dataset_meta_data: List[Any] = dataclasses.field(default_factory=list)
+    # Serialized optimizer + early-stopping state from a restored checkpoint
+    # (``TrainingRun.serialized_training_state`` format); consumed by ``train``.
+    training_state: Optional[bytes] = None
 
     def __post_init__(self):
         self._predict_cache: Dict[Any, Any] = {}
@@ -268,13 +271,21 @@ class Estimator:
         dataset_manager,
         tensorboard_dir: Optional[str] = None,
         skip_batches: int = 0,
+        show_progress: bool = False,
     ):
         """Returns a `TrainingRun` — an iterable yielding `(TrainingStatus,
         EpochStatistics)` per validation point (reference estimator.py:1001-1033).
-        Variables are updated in place so callers can checkpoint between yields."""
+        Variables are updated in place so callers can checkpoint between yields.
+        A restored checkpoint's optimizer/early-stopping state (``training_state``)
+        is resumed so Adam moments and the warmup schedule continue exactly
+        (reference estimator.py:190-194). ``skip_batches`` skips already-consumed
+        batches of the current epoch; pass ``self.epoch.step`` to resume mid-epoch."""
         from allophant_tpu.training.run import TrainingRun
 
-        return TrainingRun(self, dataset_manager, tensorboard_dir, skip_batches)
+        return TrainingRun(
+            self, dataset_manager, tensorboard_dir, skip_batches, self.training_state,
+            show_progress,
+        )
 
     # ------------------------------------------------------------------
     # Checkpointing
@@ -365,6 +376,7 @@ class Estimator:
 
         estimator.epoch = checkpoint.epoch
         estimator.history = checkpoint.history
+        estimator.training_state = checkpoint.optimizer_state
         return estimator, indexer
 
 

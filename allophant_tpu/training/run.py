@@ -210,13 +210,21 @@ class DatasetManager:
             label_multiple=self.label_multiple,
         )
 
-    def training_batches(self, seed: Optional[int] = None, skip_batches: int = 0):
+    def training_batches(
+        self,
+        seed: Optional[int] = None,
+        skip_batches: int = 0,
+        process_shard=None,
+        shard_multiple: int = 1,
+    ):
         return self._batcher().batches(
             self.train_dataset,
             self.train_lengths,
             shuffle=True,
             seed=self.config.nn.seed if seed is None else seed,
             skip_batches=skip_batches,
+            process_shard=process_shard,
+            shard_multiple=shard_multiple,
         )
 
     def validation_batches(self):
@@ -310,11 +318,17 @@ def _maybe_lengths(corpus: MultilingualCorpus) -> Optional[np.ndarray]:
 
 
 def batch_to_arrays(batch: LabeledBatch) -> Dict[str, np.ndarray]:
-    """Flattens a labeled batch into the dict layout the train step consumes."""
+    """Flattens a labeled batch into the dict layout the train step consumes.
+
+    Filler rows (batch padding for even sharding) are marked by length 0; they
+    become zero ``row_weights`` so they contribute nothing to any loss, and their
+    lengths are clamped to 1 to keep the masking math valid."""
+    lengths = np.asarray(batch.lengths, dtype=np.int32)
     arrays: Dict[str, np.ndarray] = {
         "audio": np.asarray(batch.audio_features, dtype=np.float32),
-        "lengths": np.asarray(batch.lengths, dtype=np.int32),
+        "lengths": np.maximum(lengths, 1),
         "language_ids": np.asarray(batch.language_ids, dtype=np.int32),
+        "row_weights": (lengths > 0).astype(np.float32),
     }
     for name, labels in batch.attribute_indices.items():
         arrays[f"labels_{name}"] = np.asarray(labels, dtype=np.int32)
@@ -340,11 +354,10 @@ def stack_microbatches(batches: List[LabeledBatch]) -> Dict[str, np.ndarray]:
                 array = np.pad(array, widths)
             padded.append(array)
         stacked[key] = np.stack(padded)
-    # Filler rows created by batch-axis padding must keep nonzero audio lengths so
-    # downstream masking math stays valid; their label lengths stay 0 and CTC's
-    # zero_infinity semantics zero their losses.
-    lengths = stacked["lengths"]
-    stacked["lengths"] = np.maximum(lengths, 1)
+    # Rows created by batch-axis padding arrive with zeros everywhere: their
+    # row_weights stay 0 (np.pad) so they carry no loss, and their lengths are
+    # clamped so downstream masking math stays valid.
+    stacked["lengths"] = np.maximum(stacked["lengths"], 1)
     return stacked
 
 
@@ -418,6 +431,22 @@ class MetricsLogger:
 # ---------------------------------------------------------------------------
 
 
+def _unpack_training_state(data: bytes) -> Dict[str, Any]:
+    """Decodes the bundled training state written by
+    ``TrainingRun.serialized_training_state``. Raw flax-serialized optax bytes
+    (no msgpack envelope with a ``format`` key) are accepted for forward
+    compatibility with externally produced checkpoints."""
+    import msgpack
+
+    try:
+        decoded = msgpack.unpackb(data, raw=False)
+    except Exception:
+        return {"optimizer": data}
+    if isinstance(decoded, dict) and "format" in decoded:
+        return decoded
+    return {"optimizer": data}
+
+
 class TrainingRun:
     """Iterable training loop yielding `(TrainingStatus, EpochStatistics)` at every
     validation point (each `step_size` updates if configured, else per epoch), with
@@ -432,7 +461,10 @@ class TrainingRun:
         dataset_manager: DatasetManager,
         tensorboard_dir: Optional[str] = None,
         skip_batches: int = 0,
+        training_state: Optional[bytes] = None,
+        show_progress: bool = False,
     ) -> None:
+        self._show_progress = show_progress
         self._estimator = estimator
         self._manager = dataset_manager
         self._config = estimator.config
@@ -445,16 +477,19 @@ class TrainingRun:
         self._optimizer = create_optimizer(architecture, d_model)
         loss_plan = build_loss_plan(architecture, model.plan.allophone_shape is not None)
         freeze_plan = build_freeze_plan(architecture.acoustic_model)
-        # Data-parallel training over every visible chip on this host:
-        # microbatches shard their batch axis over a 1-D "data" mesh and XLA
-        # inserts the gradient psums. Per-step row divisibility is checked in
-        # the loop (frame-budget batching yields variable sizes). Multi-host
-        # pods additionally need process-sharded data loading
-        # (parallel/mesh.py:process_local_slice + shard_microbatch_pytree's
-        # multi-host branch) wired into the sampler, which is not done yet —
-        # the mesh is only created for single-process topologies.
+        # Data-parallel training over every visible chip: microbatches shard
+        # their batch axis over a 1-D "data" mesh and XLA inserts the gradient
+        # psums over ICI/DCN. Multi-host pods use process-sharded loading: each
+        # process draws the same deterministic batch sequence but materializes
+        # audio only for its contiguous row slice
+        # (Batcher._generate_process_slices), and
+        # `jax.make_array_from_process_local_data` assembles the global batch.
+        # Single-host row divisibility is checked per step (frame-budget
+        # batching yields variable sizes); multi-host batches are padded to the
+        # device count up front with zero-weight filler rows.
         self._mesh = None
-        if jax.device_count() > 1 and jax.process_count() == 1:
+        self._multi_host = jax.process_count() > 1
+        if jax.device_count() > 1:
             from allophant_tpu.parallel.mesh import create_mesh
 
             self._mesh = create_mesh(model_parallel=1)
@@ -471,6 +506,40 @@ class TrainingRun:
         self._profiler = StepProfiler(self._config.profiling)
         self._metrics = MetricsLogger(tensorboard_dir)
         self.optimizer_state = None
+        # Serialized optax state from a restored checkpoint: deserialized lazily in
+        # __iter__ once the optimizer template exists (reference training resumes
+        # Adam moments and the warmup schedule counter, estimator.py:190-194).
+        self._restored_optimizer_bytes: Optional[bytes] = None
+        if training_state is not None:
+            restored = _unpack_training_state(training_state)
+            self._restored_optimizer_bytes = restored.get("optimizer")
+            early_stopping_state = restored.get("early_stopping")
+            if early_stopping_state is not None:
+                self.early_stopping.load_state_dict(early_stopping_state)
+
+    def serialized_training_state(self) -> Optional[bytes]:
+        """Bundles the live optax state and early-stopping progress for
+        checkpointing; pass the result to ``Estimator.save(optimizer_state=...)``.
+        Returns None before the first optimizer update."""
+        import msgpack
+        from flax import serialization
+
+        if self.optimizer_state is None and self._restored_optimizer_bytes is None:
+            return None
+        if self.optimizer_state is not None:
+            optimizer_bytes = serialization.to_bytes(
+                jax.tree_util.tree_map(np.asarray, self.optimizer_state)
+            )
+        else:
+            optimizer_bytes = self._restored_optimizer_bytes
+        return msgpack.packb(
+            {
+                "format": 1,
+                "optimizer": optimizer_bytes,
+                "early_stopping": self.early_stopping.state_dict(),
+            },
+            use_bin_type=True,
+        )
 
     def _variables(self) -> Tuple[Dict, Dict]:
         variables = dict(self._estimator.variables)
@@ -495,6 +564,17 @@ class TrainingRun:
         opt_state = self.optimizer_state
         if opt_state is None:
             opt_state = self._optimizer.init(params)
+            if self._restored_optimizer_bytes is not None:
+                from flax import serialization
+
+                try:
+                    opt_state = serialization.from_bytes(opt_state, self._restored_optimizer_bytes)
+                except (KeyError, ValueError) as error:
+                    raise ValueError(
+                        "Checkpoint optimizer state does not match the configured"
+                        " optimizer; resume with the same optimizer/schedule config"
+                        f" ({error})"
+                    ) from error
         if self._mesh is not None:
             from allophant_tpu.parallel.mesh import replicate_pytree
 
@@ -517,25 +597,42 @@ class TrainingRun:
                 window_utterances = 0
                 last_grad_norm = None
                 skip = self._skip_batches if epoch == int(self._estimator.epoch.epoch or 0) else 0
+                self._epoch_batches = skip
 
+                process_shard = None
+                shard_multiple = 1
+                if self._multi_host:
+                    process_shard = (jax.process_index(), jax.process_count())
+                    shard_multiple = jax.device_count() // jax.process_count()
                 groups = _group(
                     self._manager.training_batches(
-                        seed=(architecture.seed or 0) + epoch, skip_batches=skip
+                        seed=(architecture.seed or 0) + epoch,
+                        skip_batches=skip,
+                        process_shard=process_shard,
+                        shard_multiple=shard_multiple,
                     ),
                     self._accumulation,
                     drop_last=True,
                 )
                 for group in groups:
                     microbatches = stack_microbatches(group)
-                    # Frame-budget batching yields variable batch sizes; shard
-                    # only steps whose batch axis divides the mesh (otherwise
-                    # the single-host step runs replicated — correct, just not
-                    # parallel).
+                    # Frame-budget batching yields variable batch sizes; on a
+                    # single host, shard only steps whose batch axis divides the
+                    # mesh (otherwise the step runs replicated — correct, just
+                    # not parallel). Multi-host batches are pre-padded to shard
+                    # evenly and always go through the distributed assembly.
                     batch_rows = next(iter(microbatches.values())).shape[1]
+                    if self._multi_host:
+                        batch_rows *= jax.process_count()
                     if self._mesh is not None and batch_rows % self._mesh.devices.size == 0:
                         from allophant_tpu.parallel.mesh import shard_microbatch_pytree
 
                         microbatches = shard_microbatch_pytree(microbatches, self._mesh)
+                    elif self._multi_host:
+                        raise RuntimeError(
+                            "Multi-host step with a batch that does not divide the mesh;"
+                            " this should be prevented by shard_multiple padding"
+                        )
                     rng, step_rng = jax.random.split(rng)
                     params, opt_state, metrics = self._train_step(
                         params,
@@ -551,6 +648,18 @@ class TrainingRun:
                     last_grad_norm = host_metrics.get("grad_norm")
                     window_batches += len(group)
                     window_utterances += sum(len(batch) for batch in group)
+                    self._epoch_batches += len(group)
+                    if self._show_progress:
+                        import sys as _sys
+
+                        print(
+                            f"\repoch {epoch} step {self.global_step}"
+                            f" loss {host_metrics['mean_loss']:.4f}"
+                            f" ({window_batches} batches)",
+                            end="",
+                            file=_sys.stderr,
+                            flush=True,
+                        )
                     self._profiler.step(self.global_step)
                     self._metrics.log_step(
                         self.global_step,
@@ -584,6 +693,9 @@ class TrainingRun:
                     break
                 epoch += 1
                 self._estimator.epoch.epoch = epoch
+                # A finished epoch leaves no batches to skip on resume.
+                self._epoch_batches = 0
+                self._estimator.epoch.step = 0
                 if step_size is None:
                     status, statistics, stopped = self._validation_point(
                         params, other_variables, opt_state, epoch, window,
@@ -619,6 +731,10 @@ class TrainingRun:
         window_started: float,
         base_status: TrainingStatus,
     ) -> Tuple[TrainingStatus, EpochStatistics, bool]:
+        if self._show_progress:
+            import sys as _sys
+
+            print(file=_sys.stderr)
         validation = self._validate(params, other_variables)
         validation_loss = None if validation is None else validation.mean_loss
         improved = validation_loss is not None and self.early_stopping.update(validation_loss)
@@ -646,6 +762,10 @@ class TrainingRun:
         self._sync_back(params)
         self.optimizer_state = opt_state
         self._estimator.epoch.global_step = self.global_step
+        # Batches consumed in the current epoch: lets a restored run resume
+        # mid-epoch by skipping them (the reference ships SkipBatchSampler but
+        # never wires it, batching.py:142-159).
+        self._estimator.epoch.step = getattr(self, "_epoch_batches", 0)
         self._estimator.history.append(dataclasses.asdict(statistics))
 
         status = TrainingStatus.IMPROVED if improved else base_status

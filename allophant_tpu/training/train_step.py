@@ -98,24 +98,33 @@ def multitask_loss(
     )
     outputs = predictions.outputs
 
+    # 0/1 weights excluding batch-padding filler rows from every loss.
+    row_weights = batch.get("row_weights")
+
     total_loss = jnp.zeros((), jnp.float32)
     total_length = jnp.zeros((), jnp.float32)
     head_losses: Dict[str, jnp.ndarray] = {}
     for name in loss_plan.ctc_heads:
         labels = batch[f"labels_{name}"]
         label_lengths = batch[f"label_lengths_{name}"]
-        loss = ctc_loss_sum(outputs[name], predictions.lengths, labels, label_lengths)
+        loss = ctc_loss_sum(
+            outputs[name], predictions.lengths, labels, label_lengths, row_weights=row_weights
+        )
         head_losses[name] = loss
         total_loss += loss
         total_length += label_lengths.sum()
     for name, smoothing in loss_plan.cross_entropy_heads:
         labels = batch[f"labels_{name}"]
         loss = sequence_cross_entropy_sum(
-            outputs[name], predictions.lengths, labels, label_smoothing=smoothing
+            outputs[name],
+            predictions.lengths,
+            labels,
+            label_smoothing=smoothing,
+            row_weights=row_weights,
         )
         head_losses[name] = loss
         total_loss += loss
-        total_length += labels.shape[0]
+        total_length += labels.shape[0] if row_weights is None else row_weights.sum()
 
     objective = total_loss / jnp.maximum(total_length, 1.0)
 

@@ -44,6 +44,18 @@ def main() -> None:
         tokens, _timesteps, counts, _scores = greedy_decode_padded(log_probs, predictions.lengths)
         return tokens, counts
 
+    @jax.jit
+    def transcribe_all_heads(variables, audio, lengths, language_ids):
+        """The reference predict hot loop's work (run.py:742-822): greedy-decode
+        every classifier head, not just the phoneme track."""
+        predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
+        decoded = {}
+        for name, value in predictions.outputs.items():
+            log_probs = jax.nn.log_softmax(value, axis=-1)
+            tokens, _ts, counts, _s = greedy_decode_padded(log_probs, predictions.lengths)
+            decoded[name] = (tokens, counts)
+        return decoded
+
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32))
     lengths = jnp.full((batch,), samples, dtype=jnp.int32)
@@ -61,10 +73,57 @@ def main() -> None:
             np.asarray(tokens)
         return (time.perf_counter() - start) / num_batches
 
+    # All-heads serving loop: decode all 37 classifier tracks and write the
+    # JSONL prediction records (id -> string mapping + serialization on the
+    # host, like the CLI predict path) to a null sink.
+    warmup_decoded = transcribe_all_heads(variables, audio, lengths, language_ids)
+    head_names = sorted(warmup_decoded.keys())
+    value_tables = {}
+    for name in head_names:
+        if name in ("phoneme", "phone"):
+            source = (
+                indexer.allophone_data.shared_phone_indexer.phonemes.tolist()
+                if indexer.allophone_data is not None
+                else indexer.phonemes.tolist()
+            )
+            value_tables[name] = ["<blank>"] + list(source)
+        else:
+            value_tables[name] = ["<blank>"] + [str(v) for v in indexer.feature_categories(name)]
+
+    def run_all_heads(num_batches: int) -> float:
+        start = time.perf_counter()
+        results = [
+            transcribe_all_heads(variables, audio, lengths, language_ids)
+            for _ in range(num_batches)
+        ]
+        with open(os.devnull, "w", encoding="utf-8") as sink:
+            for decoded in results:
+                host = {
+                    name: (np.asarray(tokens), np.asarray(counts))
+                    for name, (tokens, counts) in decoded.items()
+                }
+                for row in range(batch):
+                    record = {
+                        "language": "es",
+                        "utterance_id": str(row),
+                        "predictions": {
+                            name: [
+                                [value_tables[name][token] for token in tokens[row, : counts[row]]]
+                            ]
+                            for name, (tokens, counts) in host.items()
+                        },
+                    }
+                    sink.write(json.dumps(record, ensure_ascii=False))
+                    sink.write("\n")
+        return (time.perf_counter() - start) / num_batches
+
     run_pipelined(1)  # warmup/compile
     elapsed = min(run_pipelined(4) for _ in range(4))
+    # transcribe_all_heads is already compiled (head-name warmup above).
+    elapsed_all = min(run_all_heads(2) for _ in range(3))
 
     rtf = batch * seconds / elapsed
+    rtf_all = batch * seconds / elapsed_all
     print(
         json.dumps(
             {
@@ -72,6 +131,9 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "all_heads_jsonl_rtf": round(rtf_all, 2),
+                "all_heads_vs_baseline": round(rtf_all / BASELINE_RTF, 3),
+                "num_heads": len(head_names),
             }
         )
     )

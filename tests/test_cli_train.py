@@ -44,11 +44,35 @@ def test_train_cli_end_to_end(tmp_path):
     checkpoint = checkpoint_module.load_checkpoint(save_path)
     assert checkpoint.variables is not None
     assert checkpoint.phonetic_indexer_state is not None
+    # The optimizer/early-stopping bundle is persisted for resume.
+    assert checkpoint.optimizer_state is not None
     # Restorable end to end.
     from allophant_tpu.training import Estimator
 
     estimator, indexer = Estimator.restore(checkpoint)
     assert "phoneme" in estimator.classes
+    assert estimator.training_state is not None
+
+    # Resume through the CLI: --restore picks up the checkpoint (with its
+    # optimizer state and recorded epoch position) and trains one more epoch.
+    config["nn"]["maximum_iterations"] = 2
+    run_cli.main(
+        [
+            "train",
+            corpus_root,
+            "--cpu",
+            "--no-progress",
+            "-j",
+            json.dumps(config),
+            "-a",
+            attribute_path,
+            "-s",
+            save_path,
+            "--restore",
+        ]
+    )
+    resumed = checkpoint_module.load_checkpoint(save_path)
+    assert resumed.epoch.epoch >= checkpoint.epoch.epoch
 
 
 def test_train_cli_with_precomputed_features(tmp_path):

@@ -184,7 +184,7 @@ class TestBuildBatch:
         batch = build_batch(samples, BatchType.UNLABELED, length_multiple=128, pad_batch_to_power_of_two=True)
         assert batch.audio_features.shape == (4, 256)  # 250 -> 256; 3 rows -> 4
         np.testing.assert_array_equal(batch.lengths[:3], [100, 250, 30])
-        assert batch.lengths[3] == 1  # filler row
+        assert batch.lengths[3] == 0  # filler row: zero length -> zero row weight downstream
 
 
 class TestStore:

@@ -288,6 +288,36 @@ class TestOneshotAttention:
         valid = np.broadcast_to(mask[:, :, None], out.shape)
         np.testing.assert_allclose(out[valid], expected[valid], atol=2e-5)
 
+    def test_query_blocked_very_long_sequence_matches_reference(self):
+        # T > MAX_HEADBLOCK_TIME routes through the query-blocked grid (exact
+        # single-pass softmax over the full key axis per query block).
+        from allophant_tpu.ops import oneshot_attention as osa
+
+        q, k, v, bias, mask, heads, head_dim = self._random_inputs(
+            batch=1, time=osa.MAX_HEADBLOCK_TIME + 512, heads=4, head_dim=16
+        )
+        scale = head_dim**-0.5
+        out = np.asarray(osa._oneshot_forward(q, k, v, bias, scale, heads, interpret=True))
+        expected = np.asarray(osa._reference_bthd(q, k, v, bias, scale, heads))
+        valid = np.broadcast_to(mask[:, :, None], out.shape)
+        np.testing.assert_allclose(out[valid], expected[valid], atol=2e-5)
+
+    def test_query_blocked_non_multiple_of_query_block(self):
+        # A padded length that is a multiple of 128 but not of 256 falls back to
+        # 128-wide query blocks.
+        from allophant_tpu.ops import oneshot_attention as osa
+
+        time = osa.MAX_HEADBLOCK_TIME + 128
+        assert time % 256 != 0
+        q, k, v, bias, mask, heads, head_dim = self._random_inputs(
+            batch=1, time=time, heads=2, head_dim=16
+        )
+        scale = head_dim**-0.5
+        out = np.asarray(osa._oneshot_forward(q, k, v, bias, scale, heads, interpret=True))
+        expected = np.asarray(osa._reference_bthd(q, k, v, bias, scale, heads))
+        valid = np.broadcast_to(mask[:, :, None], out.shape)
+        np.testing.assert_allclose(out[valid], expected[valid], atol=2e-5)
+
     def test_headblocked_odd_head_count(self):
         # Odd head counts fall back to one head per grid cell; every head's
         # output must still be written (regression: heads 3 previously left the

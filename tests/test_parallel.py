@@ -43,6 +43,123 @@ class TestMesh:
             create_mesh(jax.devices()[:8], data_parallel=3, model_parallel=2)
 
 
+class TestProcessShardedBatching:
+    """Host-level check of the multi-host data path: per-process slices must
+    reassemble into exactly the single-process batch (same rows, same global pad
+    targets), so `make_array_from_process_local_data` produces the same global
+    array a single process would shard."""
+
+    def _dataset(self, tmp_path):
+        import wave
+
+        from allophant_tpu.config import Config
+        from allophant_tpu.data.dataset import BatchType, SamplesProcessor, PhoneticallySegmentedDataset
+        from allophant_tpu.data.ucla import UCLAPhoneticCorpus
+        from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
+
+        from fixtures import mini_allophoible_csv, mini_config_dict
+
+        rng = np.random.default_rng(0)
+        for language, phonemes in [("spa", ["a", "t", "n"]), ("ita", ["a", "s", "i"])]:
+            base = tmp_path / language
+            (base / "audio").mkdir(parents=True)
+            with open(base / "inventory", "w", encoding="utf-8") as file:
+                for phoneme in phonemes:
+                    file.write(f"{phoneme} 5\n")
+            with open(base / "raw", "w", encoding="utf-8") as raw, open(
+                base / "text", "w", encoding="utf-8"
+            ) as text:
+                for index in range(3):
+                    utterance = f"{language}_{index}"
+                    raw.write(f"{utterance} rawform\n")
+                    # Variable label counts so label pad targets matter.
+                    text.write(f"{utterance} {' '.join(phonemes[: index + 1])}\n")
+                    data = (rng.uniform(-0.3, 0.3, 1600 + 320 * index) * 32767).astype("<i2")
+                    with wave.open(str(base / "audio" / f"{utterance}.wav"), "wb") as audio_file:
+                        audio_file.setnchannels(1)
+                        audio_file.setsampwidth(2)
+                        audio_file.setframerate(16000)
+                        audio_file.writeframes(data.tobytes())
+        corpus = UCLAPhoneticCorpus.load(str(tmp_path), resample=16000)
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        processor = SamplesProcessor.from_config(config, 16000, indexer)
+        dataset = PhoneticallySegmentedDataset(BatchType.INDEXED, corpus, processor, 1)
+        lengths = np.asarray(
+            [dataset[index].length for index in range(len(corpus))], dtype=np.int64
+        )
+        return dataset, lengths
+
+    def test_slices_reassemble_to_full_batch(self, tmp_path):
+        from allophant_tpu.config import BatchingMode
+        from allophant_tpu.data.batching import Batcher
+
+        dataset, lengths = self._dataset(tmp_path)
+        process_count = 2
+        batcher_args = dict(
+            batch_size=3, batching_mode=BatchingMode.UTTERANCES, data_workers=0,
+            length_multiple=128, label_multiple=8,
+        )
+        full = list(Batcher(**batcher_args).batches(dataset, lengths, seed=1))
+        slices = [
+            list(
+                Batcher(**batcher_args).batches(
+                    dataset, lengths, seed=1,
+                    process_shard=(process, process_count), shard_multiple=2,
+                )
+            )
+            for process in range(process_count)
+        ]
+
+        assert len(full) == len(slices[0]) == len(slices[1])
+        for batch_index, full_batch in enumerate(full):
+            parts = [shard[batch_index] for shard in slices]
+            # Same per-process shapes (required by the distributed assembly).
+            assert parts[0].audio_features.shape == parts[1].audio_features.shape
+            audio = np.concatenate([part.audio_features for part in parts])
+            row_lengths = np.concatenate([part.lengths for part in parts])
+            real = row_lengths > 0
+            assert int(real.sum()) == len(full_batch)
+            np.testing.assert_array_equal(row_lengths[real], full_batch.lengths)
+            # Global time padding covers the full batch's padded width.
+            assert audio.shape[1] >= full_batch.audio_features.shape[1]
+            np.testing.assert_allclose(
+                audio[real, : full_batch.audio_features.shape[1]], full_batch.audio_features
+            )
+            for name, labels in full_batch.attribute_indices.items():
+                merged = np.concatenate([part.attribute_indices[name] for part in parts])
+                merged_lengths = np.concatenate([part.label_lengths[name] for part in parts])
+                np.testing.assert_array_equal(merged_lengths[real], full_batch.label_lengths[name])
+                assert merged.shape[1] >= labels.shape[1]
+                np.testing.assert_array_equal(merged[real, : labels.shape[1]], labels)
+
+    def test_degenerate_tail_smaller_than_process_count(self, tmp_path):
+        from allophant_tpu.config import BatchingMode
+        from allophant_tpu.data.batching import Batcher
+
+        dataset, lengths = self._dataset(tmp_path)
+        # Batch size 4 over 6 samples -> tail batch of 2 rows for 4 processes.
+        batcher_args = dict(
+            batch_size=4, batching_mode=BatchingMode.UTTERANCES, data_workers=0,
+            length_multiple=128, label_multiple=8,
+        )
+        process_count = 4
+        slices = [
+            list(
+                Batcher(**batcher_args).batches(
+                    dataset, lengths, seed=1, process_shard=(process, process_count)
+                )
+            )
+            for process in range(process_count)
+        ]
+        tails = [shard[-1] for shard in slices]
+        assert all(tail.audio_features.shape == tails[0].audio_features.shape for tail in tails)
+        # 2 real rows live on the first two processes; the rest are zero-length filler.
+        real_counts = [int((tail.lengths > 0).sum()) for tail in tails]
+        assert sum(real_counts) == 2
+        assert real_counts[2] == 0 and real_counts[3] == 0
+
+
 class TestMultichipTrainStep:
     def test_dp_tp_train_step(self):
         """The __graft_entry__ dry run as a regression test: one full training step

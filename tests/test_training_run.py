@@ -141,6 +141,100 @@ class TestTrainingRun:
         assert len(step_results) >= 1
 
 
+def _count_leaves(opt_state):
+    """All optax step counters in the state tree (Adam count + schedule count)."""
+    return [
+        int(np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        if getattr(path[-1], "name", None) == "count"
+    ]
+
+
+class TestResume:
+    def test_optimizer_and_early_stopping_roundtrip(self, tiny_corpus, tmp_path):
+        """A checkpointed run resumes with identical Adam moments, schedule
+        counters and early-stopping progress (reference estimator.py:190-194)."""
+        config, manager, estimator = _build_training_setup(
+            tiny_corpus, {"maximum_iterations": 1}
+        )
+        run = estimator.train(manager)
+        results = list(run)
+        assert results[-1][0] == TrainingStatus.FINISHED
+
+        state_bytes = run.serialized_training_state()
+        assert state_bytes is not None
+        saved_opt = jax.tree_util.tree_map(np.asarray, run.optimizer_state)
+        saved_counts = _count_leaves(saved_opt)
+        assert saved_counts and all(count > 0 for count in saved_counts)
+
+        checkpoint_path = str(tmp_path / "resume.ckpt")
+        estimator.save(
+            checkpoint_path,
+            optimizer_state=state_bytes,
+            phonetic_indexer_state=manager.processor.indexer_state(),
+        )
+
+        restored, _indexer = Estimator.restore(checkpoint_path)
+        assert restored.training_state is not None
+        restored.config.nn.maximum_iterations = 2
+
+        resumed_run = restored.train(manager)
+        # Early stopping state carried over before iteration starts.
+        assert resumed_run.early_stopping.best_loss == run.early_stopping.best_loss
+        assert resumed_run.early_stopping.stagnation == run.early_stopping.stagnation
+        assert resumed_run.global_step == run.global_step
+
+        # The deserialized optimizer state matches the saved one exactly.
+        from flax import serialization
+
+        params, _other = resumed_run._variables()
+        template = resumed_run._optimizer.init(params)
+        restored_opt = serialization.from_bytes(template, resumed_run._restored_optimizer_bytes)
+        for expected, actual in zip(
+            jax.tree_util.tree_leaves(saved_opt), jax.tree_util.tree_leaves(restored_opt)
+        ):
+            np.testing.assert_array_equal(np.asarray(expected), np.asarray(actual))
+
+        # One more epoch continues the counters instead of restarting them, so
+        # the warmup learning rate advances from the saved position.
+        resumed_results = list(resumed_run)
+        assert resumed_results[-1][0] in (TrainingStatus.FINISHED, TrainingStatus.EARLY_STOPPED)
+        new_counts = _count_leaves(jax.tree_util.tree_map(np.asarray, resumed_run.optimizer_state))
+        steps_taken = resumed_run.global_step - run.global_step
+        assert steps_taken > 0
+        assert new_counts == [count + steps_taken for count in saved_counts]
+
+        if resumed_run._lr_schedule is not None:
+            stats = resumed_results[0][1]
+            expected_lr = float(resumed_run._lr_schedule(resumed_run.global_step - 1))
+            assert stats.learning_rate == pytest.approx(expected_lr)
+
+    def test_fresh_run_without_state_starts_counters_at_zero(self, tiny_corpus):
+        _config, manager, estimator = _build_training_setup(tiny_corpus)
+        run = estimator.train(manager)
+        assert run._restored_optimizer_bytes is None
+        assert run.early_stopping.best_loss == float("inf")
+
+    def test_mid_epoch_position_recorded(self, tiny_corpus, tmp_path):
+        """Step-mode validation records batches consumed into the epoch so a
+        resumed run can skip them (the reference ships SkipBatchSampler
+        unwired, batching.py:142-159)."""
+        _config, manager, estimator = _build_training_setup(
+            tiny_corpus, {"step_size": 1, "maximum_iterations": 1}
+        )
+        run = estimator.train(manager)
+        iterator = iter(run)
+        _status, _stats = next(iterator)
+        assert estimator.epoch.step > 0
+        recorded = estimator.epoch.step
+        iterator.close()
+
+        # Resuming with that skip consumes fewer batches in the first epoch.
+        total_batches = len(list(manager.training_batches(seed=0)))
+        remaining = len(list(manager.training_batches(seed=0, skip_batches=recorded)))
+        assert remaining == total_batches - recorded
+
+
 class TestEarlyStopping:
     def test_patience(self):
         stopper = EarlyStopping(patience=1)
