@@ -377,22 +377,75 @@ def _group(iterator: Iterator, size: int, drop_last: bool) -> Iterator[List]:
 # ---------------------------------------------------------------------------
 
 
+class _StackSampler:
+    """Sampling profiler for the main thread: collapsed-stack output compatible
+    with flamegraph.pl / speedscope (the analogue of the reference's
+    ``export_stacks(path, "self_cpu_time_total")``, estimator.py:405-418)."""
+
+    def __init__(self, interval_seconds: float = 0.005) -> None:
+        import threading
+
+        self._interval = interval_seconds
+        self._counts: Dict[str, int] = {}
+        self._stop_event = threading.Event()
+        self._target = threading.main_thread().ident
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        import sys
+
+        while not self._stop_event.wait(self._interval):
+            frame = sys._current_frames().get(self._target)
+            if frame is None:
+                continue
+            stack = []
+            while frame is not None:
+                code = frame.f_code
+                stack.append(f"{code.co_name} ({code.co_filename}:{frame.f_lineno})")
+                frame = frame.f_back
+            key = ";".join(reversed(stack))
+            self._counts[key] = self._counts.get(key, 0) + 1
+
+    def write(self, path: str) -> None:
+        self._stop_event.set()
+        self._thread.join(timeout=1.0)
+        with open(path, "w", encoding="utf-8") as file:
+            for stack, count in sorted(self._counts.items()):
+                file.write(f"{stack} {count}\n")
+
+
 class StepProfiler:
-    """jax.profiler trace over a step window (reference estimator.py:405-418,
-    829-842 used torch.profiler with wait=1/warmup=2/active=N)."""
+    """Profiling over a step window (reference estimator.py:405-418, 829-842 used
+    torch.profiler with wait=1/warmup=2/active=N): a jax.profiler device trace
+    into ``tensorboard_dir`` (or ``<flame_graph_path_gpu>.trace`` — device
+    timelines replace CUDA stack export on TPU), plus a sampled host-CPU
+    flame graph in collapsed-stack format at ``flame_graph_path_cpu``."""
 
     WAIT_STEPS = 3
 
     def __init__(self, config: Optional[ProfilingConfig]) -> None:
         self._config = config
         self._active = False
-        self._done = config is None or not config.tensorboard_dir
+        self._sampler: Optional[_StackSampler] = None
+        self._trace_dir = None
+        enabled = config is not None and (
+            config.tensorboard_dir or config.flame_graph_path_cpu or config.flame_graph_path_gpu
+        )
+        self._done = not enabled
 
     def step(self, global_step: int) -> None:
         if self._done:
             return
         if not self._active and global_step >= self.WAIT_STEPS:
-            jax.profiler.start_trace(self._config.tensorboard_dir)
+            trace_dir = self._config.tensorboard_dir
+            if trace_dir is None and self._config.flame_graph_path_gpu:
+                trace_dir = self._config.flame_graph_path_gpu + ".trace"
+            if trace_dir:
+                jax.profiler.start_trace(trace_dir)
+            self._trace_dir = trace_dir
+            if self._config.flame_graph_path_cpu:
+                self._sampler = _StackSampler()
             self._active = True
             self._stop_at = global_step + max(self._config.active_steps, 1)
         elif self._active and global_step >= self._stop_at:
@@ -400,7 +453,11 @@ class StepProfiler:
 
     def stop(self) -> None:
         if self._active:
-            jax.profiler.stop_trace()
+            if self._trace_dir:
+                jax.profiler.stop_trace()
+            if self._sampler is not None:
+                self._sampler.write(self._config.flame_graph_path_cpu)
+                self._sampler = None
             self._active = False
         self._done = True
 

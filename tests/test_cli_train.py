@@ -129,6 +129,42 @@ def test_step_profiler_writes_trace(tmp_path):
     assert contents  # trace events written
 
 
+def test_step_profiler_writes_cpu_flame_graph(tmp_path):
+    """flame_graph_path_cpu produces collapsed stacks (reference export_stacks
+    analogue); flame_graph_path_gpu captures a device trace without
+    tensorboard_dir."""
+    import time
+
+    from allophant_tpu.config import ProfilingConfig
+    from allophant_tpu.training.run import StepProfiler
+
+    cpu_path = str(tmp_path / "cpu_stacks.txt")
+    gpu_path = str(tmp_path / "device")
+    profiler = StepProfiler(
+        ProfilingConfig(
+            active_steps=2, flame_graph_path_cpu=cpu_path, flame_graph_path_gpu=gpu_path
+        )
+    )
+    import jax.numpy as jnp
+
+    for step in range(1, 8):
+        jnp.ones(64).sum().block_until_ready()
+        time.sleep(0.03)  # give the 5 ms sampler frames to capture
+        profiler.step(step)
+    profiler.stop()
+
+    with open(cpu_path, "r", encoding="utf-8") as file:
+        lines = file.read().strip().splitlines()
+    assert lines, "no stacks sampled"
+    stack, count = lines[0].rsplit(" ", 1)
+    assert ";" in stack or "(" in stack
+    assert int(count) >= 1
+    trace_files = []
+    for root, _dirs, files in os.walk(gpu_path + ".trace"):
+        trace_files.extend(files)
+    assert trace_files  # device trace captured
+
+
 def test_train_cli_data_parallel_over_virtual_mesh(tmp_path):
     """With batch_size divisible by the (virtual 8-device) mesh, the training
     loop shards microbatches over the data axis and still produces a loadable

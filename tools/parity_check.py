@@ -26,9 +26,14 @@ step for when the artifacts are present:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def check_activations(model_id: str, seconds: float = 2.0, tolerance: float = 2e-3) -> int:
