@@ -30,7 +30,11 @@ from allophant_tpu.models.projection import (
     build_projection_plan,
 )
 from allophant_tpu.models.transformer import TransformerAcousticModel
-from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture, Wav2Vec2Model
+from allophant_tpu.models.wav2vec2 import (
+    Wav2Vec2Architecture,
+    Wav2Vec2Model,
+    matmul_precision_scope,
+)
 from allophant_tpu.phonetics.attribute_graph import AttributeGraph
 from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
 
@@ -98,10 +102,13 @@ class AllophantModel(nn.Module):
         predict: bool = False,
         deterministic: bool = True,
     ) -> Predictions:
-        hidden_states, frame_lengths = self.acoustic_model(audio_features, lengths, deterministic)
-        outputs = self.projection(
-            hidden_states, frame_lengths, language_ids, target_feature_indices, predict, deterministic
-        )
+        # f32 models trace at Precision.HIGHEST (see matmul_precision_scope);
+        # the nested scope in Wav2Vec2Model covers the standalone-encoder path.
+        with matmul_precision_scope(self.dtype):
+            hidden_states, frame_lengths = self.acoustic_model(audio_features, lengths, deterministic)
+            outputs = self.projection(
+                hidden_states, frame_lengths, language_ids, target_feature_indices, predict, deterministic
+            )
         return Predictions(outputs, frame_lengths)
 
     def downsampled_lengths(self, lengths):

@@ -25,14 +25,32 @@ Design differences from the torch implementation, driven by XLA/TPU:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from allophant_tpu.ops import masking
 from allophant_tpu.ops.activations import fast_gelu
+
+
+def matmul_precision_scope(dtype):
+    """Trace-time matmul/conv precision for the given compute dtype.
+
+    XLA's default matmul precision truncates f32 operands (bf16 passes on the
+    MXU, and a reduced-precision lowering even on CPU): measured against an f64
+    ground truth, a 24-layer f32 encoder drifted ~8000x more than torch's own
+    f32 run until the first conv alone contributed 1.2e-2 of error. Models that
+    request f32 therefore mean *full* f32 and trace under
+    ``jax.default_matmul_precision("highest")``; bf16 serving keeps the fast
+    default path (where input rounding dwarfs pass-count effects anyway).
+    """
+    if dtype == jnp.float32:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -395,6 +413,10 @@ class Wav2Vec2Model(nn.Module):
 
     @nn.compact
     def __call__(self, audio, lengths, deterministic: bool = True):
+        with matmul_precision_scope(self.dtype):
+            return self._forward(audio, lengths, deterministic)
+
+    def _forward(self, audio, lengths, deterministic: bool):
         arch = self.architecture
 
         if arch.do_normalize:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from typing import Tuple
 
 import numpy as np
 
@@ -139,45 +140,60 @@ def check_fullsize(seconds: float = 2.0, tolerance: float = 5e-3) -> int:
         audio[row, length:] = 0.0
     attention_mask = (np.arange(samples)[None, :] < lengths[:, None]).astype(np.int64)
 
-    with torch.no_grad():
-        torch_hidden = [
-            state.numpy()
-            for state in torch_model(
-                torch.from_numpy(audio),
-                attention_mask=torch.from_numpy(attention_mask),
-                output_hidden_states=True,
-            ).hidden_states
-        ]
+    def torch_forward(model) -> list:
+        with torch.no_grad():
+            return [
+                state.float().numpy()
+                for state in model(
+                    torch.from_numpy(audio).to(next(model.parameters()).dtype),
+                    attention_mask=torch.from_numpy(attention_mask),
+                    output_hidden_states=True,
+                ).hidden_states
+            ]
+
+    torch_hidden = torch_forward(torch_model)
+    # Float64 ground truth: at 24 random-weight layers, per-op rounding is
+    # chaotically amplified, so the meaningful question is whether OUR f32 run
+    # drifts from the f64 truth by more than torch's own f32 run does.
+    truth = torch_forward(torch_model.double())
+    torch_model.float()
 
     state = {key: value.numpy() for key, value in torch_model.state_dict().items()}
     params = convert_wav2vec2_state(state, arch)
+
+    def layer_drift(states, frame_mask) -> Tuple[float, int]:
+        worst, worst_layer = 0.0, -1
+        for layer_id, (ours, reference) in enumerate(zip(states, truth)):
+            difference = float(np.abs(np.asarray(ours, np.float32) - reference)[frame_mask].max())
+            if difference > worst:
+                worst, worst_layer = difference, layer_id
+        return worst, worst_layer
+
     status = 0
+    torch_worst = None
     for dtype_name, dtype in (("float32", jnp.float32), ("bfloat16", jnp.bfloat16)):
         hidden_states, frame_lengths = Wav2Vec2Model(arch, dtype=dtype).apply(
             {"params": params}, jnp.asarray(audio), jnp.asarray(lengths), deterministic=True
         )
         frame_lengths = np.asarray(frame_lengths)
         frame_mask = np.arange(torch_hidden[0].shape[1])[None, :] < frame_lengths[:, None]
-        worst_abs = worst_rel = 0.0
-        worst_layer = -1
+        if torch_worst is None:
+            torch_worst, torch_layer = layer_drift(torch_hidden, frame_mask)
+            print(f"torch f32 vs f64 truth: worst layer {torch_layer} max |diff| {torch_worst:.3e}")
         for layer_id, (ours, theirs) in enumerate(zip(hidden_states, torch_hidden)):
-            ours = np.asarray(ours, dtype=np.float32)
-            difference = np.abs(ours - theirs)[frame_mask]
-            scale = max(float(np.abs(theirs[frame_mask]).max()), 1e-6)
-            layer_abs = float(difference.max())
-            if layer_abs > worst_abs:
-                worst_abs = layer_abs
-                worst_layer = layer_id
-            worst_rel = max(worst_rel, layer_abs / scale)
+            difference = np.abs(np.asarray(ours, np.float32) - theirs)[frame_mask]
             print(
-                f"[{dtype_name}] layer {layer_id:2d}: max |diff| {layer_abs:.3e}"
-                f" rms {float(np.sqrt((difference ** 2).mean())):.3e}"
+                f"[{dtype_name}] layer {layer_id:2d}: max |diff| vs torch f32"
+                f" {float(difference.max()):.3e} rms {float(np.sqrt((difference ** 2).mean())):.3e}"
             )
+        ours_worst, ours_layer = layer_drift(hidden_states, frame_mask)
         print(
-            f"[{dtype_name}] worst: layer {worst_layer} max |diff| {worst_abs:.3e}"
-            f" (relative {worst_rel:.3e})"
+            f"[{dtype_name}] vs f64 truth: worst layer {ours_layer} max |diff| {ours_worst:.3e}"
+            f" ({ours_worst / max(torch_worst, 1e-12):.2f}x torch's own f32 drift)"
         )
-        if dtype_name == "float32" and worst_abs > tolerance:
+        if dtype_name == "float32" and ours_worst > max(3.0 * torch_worst, tolerance):
+            # Structural errors dwarf rounding chaos; 3x torch's own drift (or the
+            # absolute floor) separates the two.
             status = 1
     return status
 
