@@ -40,6 +40,21 @@ def greedy_decode_padded(log_emissions: jnp.ndarray, lengths: jnp.ndarray, blank
     are the collapsed non-blank tokens (rest padded with -1)."""
     best = log_emissions.max(axis=-1)
     indices = log_emissions.argmax(axis=-1)
+    return _collapse_greedy(indices, best, lengths, blank_index)
+
+
+def greedy_decode_logits(logits: jnp.ndarray, lengths: jnp.ndarray, blank_index: int = 0):
+    """``greedy_decode_padded`` fed raw logits: identical tokens/timesteps/counts
+    without materializing the [B, T, C] log-probability tensor (argmax is
+    softmax-invariant); per-frame best log-probs come from max - logsumexp,
+    accumulated in f32 (at or above log_softmax-then-max precision)."""
+    logits32 = logits.astype(jnp.float32)
+    best = logits32.max(axis=-1) - jax.nn.logsumexp(logits32, axis=-1)
+    indices = logits.argmax(axis=-1)
+    return _collapse_greedy(indices, best, lengths, blank_index)
+
+
+def _collapse_greedy(indices: jnp.ndarray, best: jnp.ndarray, lengths: jnp.ndarray, blank_index: int):
     time = indices.shape[1]
     valid = masking.mask_sequence(lengths, time)
 
@@ -47,12 +62,16 @@ def greedy_decode_padded(log_emissions: jnp.ndarray, lengths: jnp.ndarray, blank
     run_start = (indices != previous) & valid
     keep = run_start & (indices != blank_index)
 
-    # Stable compaction: keys put kept positions first in time order.
+    # Stable compaction via prefix-sum + scatter: each kept position's output
+    # slot is its rank among kept positions (cumsum is monotone, so time order
+    # is preserved); dropped positions scatter out of bounds and are elided.
+    # O(T) passes — replaces an argsort whose bitonic lowering dominated decode
+    # time on long utterances (~12 ms at [16, 2560] in the 50 s profile).
     positions = jnp.arange(time)[None, :]
-    sort_keys = jnp.where(keep, positions, time + positions)
-    order = jnp.argsort(sort_keys, axis=1)
-    tokens = jnp.take_along_axis(jnp.where(keep, indices, -1), order, axis=1)
-    timesteps = jnp.take_along_axis(jnp.where(keep, positions + 1, 0), order, axis=1)
+    out_index = jnp.where(keep, jnp.cumsum(keep, axis=1) - 1, time)
+    rows = jnp.arange(indices.shape[0])[:, None]
+    tokens = jnp.full_like(indices, -1).at[rows, out_index].set(indices, mode="drop")
+    timesteps = jnp.zeros_like(indices).at[rows, out_index].set(positions + 1, mode="drop")
     counts = keep.sum(axis=1)
     scores = jnp.where(valid, best, 0.0).sum(axis=1)
     return tokens, timesteps, counts, scores

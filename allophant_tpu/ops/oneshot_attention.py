@@ -74,6 +74,10 @@ def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim
         peak = jnp.max(scores, axis=-1, keepdims=True)
         exps = jnp.exp2(scores - peak)
         total = jnp.sum(exps, axis=-1, keepdims=True)
+        # Normalization happens on the weight tile here (unlike the query-blocked
+        # kernel below): deferring it past the matmul keeps ``total`` and an f32
+        # context temp live across the dot, which overflows the 16 MB scoped-VMEM
+        # stack at [B=128, T=512] — and this whole-T kernel is MXU-bound anyway.
         probabilities = (exps / total).astype(v.dtype)
         context = jax.lax.dot_general(
             probabilities, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -97,11 +101,12 @@ def _qblock_attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, h
         peak = jnp.max(scores, axis=-1, keepdims=True)
         exps = jnp.exp2(scores - peak)
         total = jnp.sum(exps, axis=-1, keepdims=True)
-        probabilities = (exps / total).astype(v.dtype)
+        # Normalization deferred past the context matmul (see _attention_kernel).
+        weights = exps.astype(v.dtype)
         context = jax.lax.dot_general(
-            probabilities, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        out_ref[0, :, lo:hi] = context.astype(out_ref.dtype)
+        out_ref[0, :, lo:hi] = (context * (1.0 / total)).astype(out_ref.dtype)
 
 
 def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=False):
@@ -143,7 +148,23 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
     else:
         # Very long utterances: block the query axis too. Scores stay [Tq, T]
         # with the whole key axis resident, keeping the softmax single-pass.
-        query_block = _QUERY_BLOCK if time % _QUERY_BLOCK == 0 else 128
+        # (heads_per_block, query_block) picked by a VMEM fit model calibrated
+        # on-device at T=2560: k/v tiles (pipelined x2) + 1.5x the f32 score
+        # scratch must stay under ~9.5 MB. More heads per cell amortizes the
+        # k/v DMA (reused across consecutive query blocks); measured -14%
+        # kernel time for (4, 256) over (2, 256) at T=2560.
+        item_bytes = query.dtype.itemsize
+        heads_per_block, query_block = 1, 128
+        for candidate_heads, candidate_block in ((4, 256), (2, 256), (2, 128), (1, 128)):
+            kv_bytes = 4 * time * candidate_heads * head_dim * item_bytes
+            score_bytes = candidate_block * time * 4
+            if (
+                heads % candidate_heads == 0
+                and time % candidate_block == 0
+                and kv_bytes + score_bytes * 3 // 2 <= 9_500_000
+            ):
+                heads_per_block, query_block = candidate_heads, candidate_block
+                break
         grid = (batch, heads // heads_per_block, time // query_block)
         bias_spec = pl.BlockSpec(
             (1, 1, time), lambda b, h, qb: (b, 0, 0), memory_space=pltpu.VMEM

@@ -27,7 +27,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from allophant_tpu.demo import build_flagship
-    from allophant_tpu.ops.decode import greedy_decode_padded
+    from allophant_tpu.ops.decode import greedy_decode_logits
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
@@ -40,8 +40,9 @@ def main() -> None:
     @jax.jit
     def transcribe(variables, audio, lengths, language_ids):
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
-        log_probs = jax.nn.log_softmax(predictions.outputs["phoneme"], axis=-1)
-        tokens, _timesteps, counts, _scores = greedy_decode_padded(log_probs, predictions.lengths)
+        tokens, _timesteps, counts, _scores = greedy_decode_logits(
+            predictions.outputs["phoneme"], predictions.lengths
+        )
         return tokens, counts
 
     @jax.jit
@@ -51,8 +52,7 @@ def main() -> None:
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
         decoded = {}
         for name, value in predictions.outputs.items():
-            log_probs = jax.nn.log_softmax(value, axis=-1)
-            tokens, _ts, counts, _s = greedy_decode_padded(log_probs, predictions.lengths)
+            tokens, _ts, counts, _s = greedy_decode_logits(value, predictions.lengths)
             decoded[name] = (tokens, counts)
         return decoded
 

@@ -174,6 +174,44 @@ class TestGreedyDecoder:
         [hypotheses] = decoder(emissions, np.array([2]))
         assert hypotheses[0].score == pytest.approx(np.log(0.7) + np.log(0.6), rel=1e-5)
 
+    def test_logits_variant_matches_log_prob_variant(self):
+        import jax
+
+        from allophant_tpu.ops.decode import greedy_decode_logits, greedy_decode_padded
+
+        rng = np.random.default_rng(7)
+        logits = rng.standard_normal((4, 17, 9)).astype(np.float32) * 3.0
+        lengths = np.array([17, 11, 5, 0])
+        log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        tokens_ref, steps_ref, counts_ref, scores_ref = greedy_decode_padded(
+            log_probs, jnp.asarray(lengths)
+        )
+        tokens, steps, counts, scores = greedy_decode_logits(
+            jnp.asarray(logits), jnp.asarray(lengths)
+        )
+        np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens_ref))
+        np.testing.assert_array_equal(np.asarray(steps), np.asarray(steps_ref))
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_ref))
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(scores_ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_logits_variant_bf16_input(self):
+        from allophant_tpu.ops.decode import greedy_decode_logits
+
+        rng = np.random.default_rng(11)
+        logits32 = rng.standard_normal((2, 9, 6)).astype(np.float32) * 2.0
+        logits = jnp.asarray(logits32, dtype=jnp.bfloat16)
+        lengths = jnp.asarray(np.array([9, 4]))
+        tokens, _steps, counts, scores = greedy_decode_logits(logits, lengths)
+        # argmax over bf16 logits matches f32 here (values well separated by seed
+        # choice); scores come from the f32 accumulation path and must be finite.
+        expected = np.asarray(logits, dtype=np.float32).argmax(-1)
+        first = np.asarray(tokens)[0, : int(counts[0])]
+        collapsed = [t for i, t in enumerate(expected[0, :9]) if (i == 0 or t != expected[0, i - 1]) and t != 0]
+        np.testing.assert_array_equal(first, collapsed)
+        assert np.isfinite(np.asarray(scores)).all()
+
 
 class TestBeamDecoder:
     def test_agrees_with_greedy_on_peaked(self):
