@@ -18,9 +18,11 @@ the flash kernel requires (three 65 MB copies per layer at batch 64) disappear.
 
 Padding is an additive f32 key bias (0 valid / -1e9 padded), matching the
 reference einsum formulation (`ops/attention.py:reference_attention`). Padded
-*query* rows see an all--1e9 score row and produce a uniform average; the same
-garbage-in-its-own-row behavior as the flash path's segment-id masking, and
-downstream masking drops those frames.
+*query* rows attend over the valid keys and produce garbage-in-garbage-out
+values that downstream masking drops; a fully-padded (zero-length) batch
+element produces all-zero rows (clamped softmax denominator) rather than the
+einsum path's uniform average — both are garbage by contract, and zeros keep
+NaNs out of any unmasked reduction.
 
 The backward pass delegates to the flash/einsum path via ``jax.custom_vjp`` —
 training differentiates the same math, inference never pays for transposes.
@@ -38,6 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 _LOG2E = np.float32(1.4426950408889634)
+# Softmax denominator clamp: a fully-padded (zero-length) row's weights all
+# flush to 0; the clamp turns the would-be 0/0 into an all-zero output row.
+_TINY_TOTAL = np.float32(1e-30)
 # Full-tile VMEM use is ~(4 * T * D * 2 + 4 * T * T) bytes plus pipeline
 # buffers; 768 frames (~23 s audio) stays under the 16 MB budget at D=1024.
 MAX_ONESHOT_TIME = 768
@@ -64,16 +69,24 @@ def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim
     for head in range(heads):
         lo = head * head_dim
         hi = lo + head_dim
-        q = q_ref[0, :, lo:hi]
+        # The softmax scale multiplies the narrow [T, hd] query tile instead of
+        # the [T, T] score tile, and the key bias rides the exp2 argument with
+        # an UNBIASED peak — exp2(s - peak + bias) — so the score tile sees
+        # three VPU passes (max, fused sub/add/exp2, sum) instead of four.
+        # An unbiased peak only rescales numerator and denominator identically;
+        # exp2(-1e9 * log2e) still flushes padded keys to exactly 0.
+        q = q_ref[0, :, lo:hi] * np.float32(sm_scale * _LOG2E)
         k = k_ref[0, :, lo:hi]
         v = v_ref[0, :, lo:hi]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        scores = scores * (sm_scale * _LOG2E) + bias
         peak = jnp.max(scores, axis=-1, keepdims=True)
-        exps = jnp.exp2(scores - peak)
-        total = jnp.sum(exps, axis=-1, keepdims=True)
+        exps = jnp.exp2(scores - peak + bias)
+        # Clamped: a fully-padded row (zero-length batch element) has an all-zero
+        # weight row and yields 0 output rather than 0/0 = NaN. Downstream
+        # length masks drop those frames either way.
+        total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
         # Normalization happens on the weight tile here (unlike the query-blocked
         # kernel below): deferring it past the matmul keeps ``total`` and an f32
         # context temp live across the dot, which overflows the 16 MB scoped-VMEM
@@ -91,17 +104,22 @@ def _qblock_attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, h
     for head in range(heads):
         lo = head * head_dim
         hi = lo + head_dim
-        q = q_ref[0, :, lo:hi]  # [Tq, hd]
+        # Scale on the narrow q tile + bias folded into the exp2 argument with
+        # an unbiased peak — one fewer full VPU pass over the [Tq, T] score
+        # tile (see _attention_kernel).
+        q = q_ref[0, :, lo:hi] * np.float32(sm_scale * _LOG2E)  # [Tq, hd]
         k = k_ref[0, :, lo:hi]  # [T, hd]
         v = v_ref[0, :, lo:hi]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        scores = scores * (sm_scale * _LOG2E) + bias
         peak = jnp.max(scores, axis=-1, keepdims=True)
-        exps = jnp.exp2(scores - peak)
-        total = jnp.sum(exps, axis=-1, keepdims=True)
-        # Normalization deferred past the context matmul (see _attention_kernel).
+        exps = jnp.exp2(scores - peak + bias)
+        total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
+        # Normalization deferred past the context matmul: it then runs over the
+        # narrow [Tq, hd] context instead of the [Tq, T] weight tile (measured
+        # -11% kernel time at T=2560). exp2 outputs are in (0, 1], safely
+        # representable in bf16.
         weights = exps.astype(v.dtype)
         context = jax.lax.dot_general(
             weights, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
