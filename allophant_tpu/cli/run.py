@@ -248,6 +248,7 @@ def predict(arguments: Namespace) -> None:
     from allophant_tpu.config import BatchingMode, PhonemeLayerType, ProjectionEntryConfig
     from allophant_tpu.data import corpus_loading
     from allophant_tpu.data.batching import Batcher
+    from allophant_tpu.ops.decode import GreedyCTCDecoder
     from allophant_tpu.evaluation_runner import _fix_inventories, _missing_mappings
     from allophant_tpu.phonetics import language_codes
     from allophant_tpu.predictions import (
@@ -434,10 +435,24 @@ def predict(arguments: Namespace) -> None:
                 emissions = jnp.transpose(jnp.asarray(outputs[name]), (1, 0, 2))[:batch_size_now]
                 dispatched[name] = decoder.dispatch(emissions, output_lengths[:batch_size_now])
 
-            # Phase 2: transfer the (small) token results per head.
+            # Phase 2: transfer the (small) token results. Greedy heads are
+            # drained together through one stacked fetch (four transfers for
+            # the whole wave rather than four per head — the dominant cost on
+            # high-latency device links); beam heads collect individually.
+            greedy_collected = GreedyCTCDecoder.collect_many(
+                {
+                    name: dispatched[name]
+                    for name, decoder in ctc_decoders.items()
+                    if isinstance(decoder, GreedyCTCDecoder)
+                }
+            )
             prediction_batches: Dict[str, List[List[List[str]]]] = {}
             for name, decoder in ctc_decoders.items():
-                beam_results = decoder.collect(dispatched[name])
+                beam_results = (
+                    greedy_collected[name]
+                    if name in greedy_collected
+                    else decoder.collect(dispatched[name])
+                )
                 is_ipa_layer = name in ipa_layers
                 prediction_batch = []
                 for result in range(len(beam_results)):

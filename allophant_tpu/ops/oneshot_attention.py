@@ -60,6 +60,10 @@ _HEADS_PER_BLOCK = 2
 # against the T^2 score work.
 MAX_QBLOCK_TIME = 6144
 _QUERY_BLOCK = 256
+# (heads_per_block, query_block) preference order for the query-blocked path;
+# the first candidate that divides the head/time axes and fits the VMEM model
+# wins. Module-level so offline tuning sweeps can override it.
+_QBLOCK_CANDIDATES = ((4, 256), (2, 256), (2, 128), (1, 128))
 
 
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
@@ -173,7 +177,7 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
         # kernel time for (4, 256) over (2, 256) at T=2560.
         item_bytes = query.dtype.itemsize
         heads_per_block, query_block = 1, 128
-        for candidate_heads, candidate_block in ((4, 256), (2, 256), (2, 128), (1, 128)):
+        for candidate_heads, candidate_block in _QBLOCK_CANDIDATES:
             kv_bytes = 4 * time * candidate_heads * head_dim * item_bytes
             score_bytes = candidate_block * time * 4
             if (

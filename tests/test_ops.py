@@ -166,6 +166,34 @@ class TestGreedyDecoder:
         np.testing.assert_array_equal(results[0][0].tokens, [1, 2])
         np.testing.assert_array_equal(results[1][0].tokens, [3])
 
+    def test_collect_many_matches_per_head_collect(self):
+        decoder = GreedyCTCDecoder()
+        heads = {
+            "a": _emissions_for([2, 2, 0, 3], classes=5, time_per_token=1),
+            "b": _emissions_for([1, 0, 1, 4], classes=5, time_per_token=1),
+            "c": _emissions_for([0, 3, 3, 0], classes=5, time_per_token=1),
+        }
+        lengths = np.array([4])
+        dispatched = {name: decoder.dispatch(e, lengths) for name, e in heads.items()}
+        fused = GreedyCTCDecoder.collect_many(dispatched)
+        assert sorted(fused) == sorted(heads)
+        for name in heads:
+            expected = decoder.collect(decoder.dispatch(heads[name], lengths))
+            for row_fused, row_expected in zip(fused[name], expected):
+                assert len(row_fused) == len(row_expected)
+                for h_fused, h_expected in zip(row_fused, row_expected):
+                    np.testing.assert_array_equal(h_fused.tokens, h_expected.tokens)
+                    np.testing.assert_array_equal(h_fused.timesteps, h_expected.timesteps)
+                    assert h_fused.score == pytest.approx(h_expected.score)
+
+    def test_collect_many_empty_and_single(self):
+        decoder = GreedyCTCDecoder()
+        assert GreedyCTCDecoder.collect_many({}) == {}
+        emissions = _emissions_for([2, 3], classes=4, time_per_token=1)
+        dispatched = {"only": decoder.dispatch(emissions, np.array([2]))}
+        [row] = GreedyCTCDecoder.collect_many(dispatched)["only"]
+        np.testing.assert_array_equal(row[0].tokens, [2, 3])
+
     def test_score_is_sum_of_max(self):
         decoder = GreedyCTCDecoder()
         emissions = np.log(
