@@ -29,7 +29,7 @@ from allophant_tpu.config import (
 )
 from allophant_tpu.models.allophant import AllophantModel
 from allophant_tpu.models.projection import BUFFERS
-from allophant_tpu.ops.ctc import ctc_loss_sum, sequence_cross_entropy_sum
+from allophant_tpu.ops.ctc import ctc_loss_sum_heads, sequence_cross_entropy_sum
 
 
 def create_optimizer(architecture: Architecture, d_model: int) -> optax.GradientTransformation:
@@ -103,16 +103,22 @@ def multitask_loss(
 
     total_loss = jnp.zeros((), jnp.float32)
     total_length = jnp.zeros((), jnp.float32)
-    head_losses: Dict[str, jnp.ndarray] = {}
-    for name in loss_plan.ctc_heads:
-        labels = batch[f"labels_{name}"]
-        label_lengths = batch[f"label_lengths_{name}"]
-        loss = ctc_loss_sum(
-            outputs[name], predictions.lengths, labels, label_lengths, row_weights=row_weights
+    # All CTC heads share one fused forward scan (H*B rows) instead of H
+    # sequential T-step scans — the recurrence is the step's dominant
+    # non-matmul latency at 37 heads.
+    head_losses: Dict[str, jnp.ndarray] = dict(
+        ctc_loss_sum_heads(
+            [
+                (name, outputs[name], batch[f"labels_{name}"], batch[f"label_lengths_{name}"])
+                for name in loss_plan.ctc_heads
+            ],
+            predictions.lengths,
+            row_weights=row_weights,
         )
-        head_losses[name] = loss
-        total_loss += loss
-        total_length += label_lengths.sum()
+    )
+    for name in loss_plan.ctc_heads:
+        total_loss += head_losses[name]
+        total_length += batch[f"label_lengths_{name}"].sum()
     for name, smoothing in loss_plan.cross_entropy_heads:
         labels = batch[f"labels_{name}"]
         loss = sequence_cross_entropy_sum(

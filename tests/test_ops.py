@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from allophant_tpu.ops.ctc import ctc_loss_sum, sequence_cross_entropy_sum
+from allophant_tpu.ops.ctc import ctc_loss_sum, ctc_loss_sum_heads, sequence_cross_entropy_sum
 from allophant_tpu.ops.decode import BeamCTCDecoder, GreedyCTCDecoder
 
 
@@ -132,6 +132,85 @@ def _emissions_for(sequence, classes, time_per_token=2):
             row[token] = 0.0
             frames.append(row)
     return np.asarray(frames)[None]
+
+
+class TestFusedCTC:
+    """ctc_loss_sum_heads (single fused forward scan) against the per-head
+    reference path, values and gradients."""
+
+    @staticmethod
+    def _random_heads(seed, batch=3, time=16):
+        rng = np.random.default_rng(seed)
+        heads = []
+        # Deliberately heterogeneous: class counts, label widths, repeats,
+        # empty labels, and an infeasible row.
+        for name, classes, width in [("a", 7, 6), ("b", 3, 6), ("c", 25, 4)]:
+            logits = rng.standard_normal((batch, time, classes)).astype(np.float32)
+            labels = rng.integers(1, classes, (batch, width))
+            labels[0, 1] = labels[0, 0]  # forced repeat
+            label_lengths = rng.integers(0, width + 1, batch)
+            for row, length in enumerate(label_lengths):
+                labels[row, length:] = 0
+            heads.append(
+                (name, jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(label_lengths))
+            )
+        logit_lengths = jnp.asarray(rng.integers(4, time + 1, batch))
+        return heads, logit_lengths
+
+    def test_matches_per_head_reference(self):
+        heads, logit_lengths = self._random_heads(0)
+        fused = ctc_loss_sum_heads(heads, logit_lengths)
+        for name, logits, labels, label_lengths in heads:
+            expected = ctc_loss_sum(logits, logit_lengths, labels, label_lengths)
+            assert float(fused[name]) == pytest.approx(float(expected), rel=1e-4, abs=1e-5)
+
+    def test_infeasible_rows_zeroed(self):
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.standard_normal((1, 3, 5)).astype(np.float32))
+        labels = jnp.asarray([[1, 2, 3, 4, 1, 2]])
+        fused = ctc_loss_sum_heads(
+            [("only", logits, labels, jnp.asarray([6]))], jnp.asarray([3])
+        )
+        assert float(fused["only"]) == 0.0
+
+    def test_row_weights(self):
+        heads, logit_lengths = self._random_heads(2)
+        weights = jnp.asarray([1.0, 0.0, 1.0])
+        fused = ctc_loss_sum_heads(heads, logit_lengths, row_weights=weights)
+        for name, logits, labels, label_lengths in heads:
+            expected = ctc_loss_sum(
+                logits, logit_lengths, labels, label_lengths, row_weights=weights
+            )
+            assert float(fused[name]) == pytest.approx(float(expected), rel=1e-4, abs=1e-5)
+
+    def test_gradients_match(self):
+        import jax
+
+        heads, logit_lengths = self._random_heads(3)
+
+        def fused_total(all_logits):
+            rebuilt = [
+                (name, all_logits[index], labels, label_lengths)
+                for index, (name, _logits, labels, label_lengths) in enumerate(heads)
+            ]
+            # Heads have different class counts; pass as a list of arrays.
+            losses = ctc_loss_sum_heads(rebuilt, logit_lengths)
+            return sum(losses.values())
+
+        def reference_total(all_logits):
+            return sum(
+                ctc_loss_sum(all_logits[index], logit_lengths, labels, label_lengths)
+                for index, (_name, _logits, labels, label_lengths) in enumerate(heads)
+            )
+
+        inputs = [logits for _name, logits, _labels, _ll in heads]
+        fused_grads = jax.grad(fused_total)(inputs)
+        expected_grads = jax.grad(reference_total)(inputs)
+        for ours, expected in zip(fused_grads, expected_grads):
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(expected), atol=2e-4)
+
+    def test_empty(self):
+        assert ctc_loss_sum_heads([], jnp.asarray([3])) == {}
 
 
 class TestGreedyDecoder:
