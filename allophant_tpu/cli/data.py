@@ -153,6 +153,7 @@ def preprocess_features(_parser: ArgumentParser, arguments: Namespace) -> None:
     from allophant_tpu.data import corpus_loading
     from allophant_tpu.data.preprocessing import FeatureFunction
     from allophant_tpu.data.store import RaggedFeatureWriter, write_meta
+    from allophant_tpu.utils import progress_bar
 
     config = _load_config(arguments)
     splits = corpus_loading.load_corpus(
@@ -166,23 +167,22 @@ def preprocess_features(_parser: ArgumentParser, arguments: Namespace) -> None:
     feature_function = FeatureFunction.from_config(config, sample_rate)
     write_meta(arguments.output_directory, feature_function.feature_size)
 
-    processed = 0
+    progress = progress_bar(desc="preprocess", unit="utt")
     for split_name, split in zip(("train", "dev", "test"), splits):
         for language in split.languages:
             writer = RaggedFeatureWriter(
                 arguments.output_directory, split_name, language, feature_function.feature_size
             )
+            progress.set_description(f"preprocess {split_name}/{language}")
             for index in split.monolingual_index_range(language):
                 audio, _rate = split.audio(index)
                 features = feature_function(audio[0] if audio.ndim > 1 else audio)
                 if features.ndim == 1:
                     features = features[:, None]
                 writer.append(features)
-                processed += 1
-                if processed % 100 == 0:
-                    print(f"\r{processed} utterances", end="", file=sys.stderr, flush=True)
+                progress.update(1)
             writer.close()
-    print(file=sys.stderr)
+    progress.close()
 
 
 # ---------------------------------------------------------------------------

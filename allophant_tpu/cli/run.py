@@ -258,6 +258,7 @@ def predict(arguments: Namespace) -> None:
         UtterancePrediction,
     )
     from allophant_tpu.training import Estimator
+    from allophant_tpu.utils import progress_bar
 
     n_candidates = arguments.n_best
     if n_candidates > arguments.ctc_beam:
@@ -404,6 +405,9 @@ def predict(arguments: Namespace) -> None:
         use_gzip=arguments.compress,
     ) as writer:
         processed = 0
+        progress = progress_bar(
+            enabled=not arguments.no_progress, desc="predict", unit="utt"
+        )
         for batch, language_batch in batch_generator:
             language_decoder = None
             if per_language_decoders is not None:
@@ -487,10 +491,8 @@ def predict(arguments: Namespace) -> None:
                     )
                 )
             processed += batch_size_now
-            if not arguments.no_progress:
-                print(f"\r{processed} utterances", end="", file=sys.stderr, flush=True)
-        if not arguments.no_progress:
-            print(file=sys.stderr)
+            progress.update(batch_size_now)
+        progress.close()
 
 
 def _corpus_lengths(corpus) -> Optional[np.ndarray]:
@@ -520,6 +522,7 @@ def evaluate(arguments: Namespace) -> None:
             fix_unicode=arguments.fix_unicode,
             split_complex=arguments.split_complex,
             scorer="host" if arguments.host_scorer else "device",
+            show_progress=not arguments.no_progress,
         )
         results = summarize_edit_statistics(
             statistics, reader.metadata.classifiers, str(vars(arguments))

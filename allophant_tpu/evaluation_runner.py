@@ -19,6 +19,7 @@ from allophant_tpu import phonemes as native
 from allophant_tpu.config import ProjectionEntryConfig
 from allophant_tpu.evaluation import EvaluationResults, MultilingualEvaluationResults
 from allophant_tpu.phonemes import EditStatistics
+from allophant_tpu.utils import progress_bar
 from allophant_tpu.phonetics import segmentation
 from allophant_tpu.phonetics.features import PhoneticAttributeIndexer
 from allophant_tpu.predictions import (
@@ -157,6 +158,7 @@ def compute_edit_statistics(
     fix_unicode: bool = False,
     split_complex: bool = False,
     scorer: str = "device",
+    show_progress: bool = False,
 ) -> Dict[str, Dict[str, EditStatistics]]:
     """Accumulates per-(language, classifier) edit statistics; the best of the n-best
     candidates (minimum WER) counts (reference run.py:434-466).
@@ -174,7 +176,9 @@ def compute_edit_statistics(
     }
 
     collected: List[Tuple[str, str, List[str], List[List[str]]]] = []
+    progress = progress_bar(enabled=show_progress, desc="evaluate", unit="utt")
     for line, prediction in enumerate(reader, 1):
+        progress.update(1)
         references = prediction.labels
         if references is None:
             raise ValueError(f"Missing label for evaluation in line {line}")
@@ -203,6 +207,7 @@ def compute_edit_statistics(
             else:
                 collected.append((language, name, expected, processed))
 
+    progress.close()
     if collected:
         _accumulate_device_statistics(collected, edit_statistics)
     return edit_statistics

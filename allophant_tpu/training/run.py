@@ -42,6 +42,7 @@ from allophant_tpu.training.train_step import (
     make_eval_step,
     make_train_step,
 )
+from allophant_tpu.utils import progress_bar
 
 
 class TrainingStatus(Enum):
@@ -610,7 +611,14 @@ class TrainingRun:
         if self._manager.validation_dataset is None:
             return None
         accumulator = _MeanAccumulator()
-        for batch in self._manager.validation_batches():
+        batches = progress_bar(
+            self._manager.validation_batches(),
+            enabled=self._show_progress,
+            desc="validation",
+            unit="batch",
+            leave=False,
+        )
+        for batch in batches:
             metrics = self._eval_step(params, other_variables, batch_to_arrays(batch))
             accumulator.add(jax.tree_util.tree_map(float, metrics))
         return accumulator
@@ -671,6 +679,9 @@ class TrainingRun:
                     self._accumulation,
                     drop_last=True,
                 )
+                progress = progress_bar(
+                    enabled=self._show_progress, desc=f"epoch {epoch}", unit="step"
+                )
                 for group in groups:
                     microbatches = stack_microbatches(group)
                     # Frame-budget batching yields variable batch sizes; on a
@@ -706,17 +717,12 @@ class TrainingRun:
                     window_batches += len(group)
                     window_utterances += sum(len(batch) for batch in group)
                     self._epoch_batches += len(group)
-                    if self._show_progress:
-                        import sys as _sys
-
-                        print(
-                            f"\repoch {epoch} step {self.global_step}"
-                            f" loss {host_metrics['mean_loss']:.4f}"
-                            f" ({window_batches} batches)",
-                            end="",
-                            file=_sys.stderr,
-                            flush=True,
-                        )
+                    progress.update(1)
+                    progress.set_postfix(
+                        step=self.global_step,
+                        loss=f"{host_metrics['mean_loss']:.4f}",
+                        refresh=False,
+                    )
                     self._profiler.step(self.global_step)
                     self._metrics.log_step(
                         self.global_step,
@@ -732,6 +738,7 @@ class TrainingRun:
                     )
 
                     if step_size is not None and self.global_step % step_size == 0:
+                        progress.close()
                         status, statistics, stopped = self._validation_point(
                             params, other_variables, opt_state, epoch, window,
                             window_batches, window_utterances, last_grad_norm, epoch_started,
@@ -741,11 +748,15 @@ class TrainingRun:
                         if stopped:
                             final_status = TrainingStatus.EARLY_STOPPED
                             break
+                        progress = progress_bar(
+                            enabled=self._show_progress, desc=f"epoch {epoch}", unit="step"
+                        )
                         window = _MeanAccumulator()
                         window_batches = 0
                         window_utterances = 0
                         epoch_started = time.perf_counter()
 
+                progress.close()
                 if stopped:
                     break
                 epoch += 1
@@ -788,10 +799,6 @@ class TrainingRun:
         window_started: float,
         base_status: TrainingStatus,
     ) -> Tuple[TrainingStatus, EpochStatistics, bool]:
-        if self._show_progress:
-            import sys as _sys
-
-            print(file=_sys.stderr)
         validation = self._validate(params, other_variables)
         validation_loss = None if validation is None else validation.mean_loss
         improved = validation_loss is not None and self.early_stopping.update(validation_loss)

@@ -8,7 +8,58 @@ from __future__ import annotations
 import os
 from argparse import Action, ArgumentParser, Namespace
 from enum import Enum
-from typing import Optional, Type
+from typing import Any, Iterable, Iterator, Optional, Type
+
+
+def progress_bar(
+    iterable: Optional[Iterable] = None,
+    *,
+    enabled: bool = True,
+    total: Optional[int] = None,
+    desc: Optional[str] = None,
+    unit: str = "it",
+    leave: bool = True,
+) -> Any:
+    """A tqdm progress bar over ``iterable`` (or a manually-updated bar when
+    ``iterable`` is None), mirroring the reference's loop reporting
+    (reference estimator.py:470-478, 616-623). Disabled bars — and environments
+    without tqdm — degrade to a no-op pass-through so callers never branch."""
+    if not enabled:
+        if iterable is None:
+            return _NullProgress()
+        return iterable
+    try:
+        from tqdm import tqdm
+    except ImportError:
+        if iterable is None:
+            return _NullProgress()
+        return iterable
+    return tqdm(iterable, total=total, desc=desc, unit=unit, leave=leave, dynamic_ncols=True)
+
+
+class _NullProgress:
+    """Inert stand-in for a manually-driven tqdm bar."""
+
+    def update(self, n: int = 1) -> None:
+        pass
+
+    def set_postfix(self, *args, **kwargs) -> None:
+        pass
+
+    def set_description(self, desc: Optional[str] = None, refresh: bool = True) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self) -> "_NullProgress":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        pass
+
+    def __iter__(self) -> Iterator:
+        return iter(())
 
 
 class OnlineMean:
