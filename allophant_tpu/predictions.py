@@ -89,13 +89,17 @@ class UtterancePrediction:
     labels: List[List[str]] | None = None
 
     def to_json(self) -> str:
+        # ensure_ascii=False keeps IPA as raw UTF-8: parses identically, writes
+        # smaller files, and skips the \uXXXX escape scan in the predict drain's
+        # hot serialization loop.
         return json.dumps(
             {
                 "language": self.language,
                 "utterance_id": self.utterance_id,
                 "predictions": self.predictions,
                 "labels": self.labels,
-            }
+            },
+            ensure_ascii=False,
         )
 
     @classmethod
@@ -125,7 +129,8 @@ class UtteranceEdits:
                     name: [[int(action), a, b] for action, a, b in operations]
                     for name, operations in self.edit_operations.items()
                 },
-            }
+            },
+            ensure_ascii=False,
         )
 
     @classmethod

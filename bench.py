@@ -154,7 +154,10 @@ def main() -> None:
     }
     if measure_all_heads:
         # transcribe_all_heads is already compiled (head-name warmup above).
-        elapsed_all = min(run_all_heads(2) for _ in range(3))
+        # 4 batches per rep, like the single-head mode: host-side JSONL work for
+        # batch i overlaps device compute of batch i+1, so steady-state exposes
+        # only the final batch's drain.
+        elapsed_all = min(run_all_heads(4) for _ in range(3))
         rtf_all = batch * seconds / elapsed_all
         result.update(
             all_heads_jsonl_rtf=round(rtf_all, 2),
