@@ -56,13 +56,13 @@ def fused_attention(
         return reference_attention(query, key, value, pad_mask, sm_scale)
 
     from allophant_tpu.ops.oneshot_attention import (
-        MAX_QBLOCK_TIME,
         NEG_INF,
         oneshot_attention,
+        plan_oneshot,
     )
 
     pad = _pad_to_block(time)
-    if time + pad <= MAX_QBLOCK_TIME:
+    if plan_oneshot(heads, head_dim, time + pad, query.dtype.itemsize) is not None:
         # Sequences up to ~3 min of audio: single-pass exact-softmax kernels
         # over the [B, T, H*hd] projection layout — no head transposes; the
         # score tile shrinks from full [T, T] through head-blocked to

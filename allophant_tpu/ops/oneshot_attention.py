@@ -61,9 +61,53 @@ _HEADS_PER_BLOCK = 2
 MAX_QBLOCK_TIME = 6144
 _QUERY_BLOCK = 256
 # (heads_per_block, query_block) preference order for the query-blocked path;
-# the first candidate that divides the head/time axes and fits the VMEM model
-# wins. Module-level so offline tuning sweeps can override it.
-_QBLOCK_CANDIDATES = ((4, 256), (2, 256), (2, 128), (1, 128))
+# the first candidate that divides the head/time axes, produces lane-legal
+# (128-divisible) block widths, and fits the VMEM model wins. Ordered by
+# measured speed at T=2560/batch=16 (tools/tune_qblock_attention.py sweep:
+# (4,320) 6.570 ms, (4,256) 6.593, (2,320) 6.743, (2,256) 6.894, (8,128)
+# 7.164, (4,128) 8.307). Module-level so offline tuning sweeps can override.
+_QBLOCK_CANDIDATES = ((4, 320), (4, 256), (2, 320), (2, 256), (2, 128), (1, 128))
+# VMEM budget for the fit model: k/v tiles (pipelined x2) plus 1.5x the f32
+# score scratch must stay under this. Calibrated against on-device compile
+# outcomes at T=2560: modeled 12.4 MB (hpb=8, qb=128) compiles, 13.1 MB
+# (hpb=4, qb=512) overflows. Module-level for tuning sweeps.
+_QBLOCK_VMEM_BUDGET = 12_500_000
+
+
+def plan_oneshot(
+    heads: int, head_dim: int, padded_time: int, item_bytes: int, strict_lanes: bool = True
+):
+    """Kernel plan for a padded [B, T, H*hd] attention, or None when no legal
+    configuration exists. On real TPUs (``strict_lanes``), a block that
+    partitions the minor axis must be 128-divisible (Mosaic lane width); a
+    block covering the FULL minor axis is always legal. VMEM bounds the
+    resident tiles. Callers fall back to the flash kernel on None; interpret
+    mode (CPU tests) passes ``strict_lanes=False``."""
+
+    def lane_legal(block_width: int) -> bool:
+        return not strict_lanes or block_width % 128 == 0 or block_width == heads * head_dim
+
+    if padded_time <= MAX_ONESHOT_TIME:
+        return ("full", heads)  # block spans the whole [T, H*hd] tile: always legal
+    if padded_time <= MAX_HEADBLOCK_TIME:
+        for heads_per_block in (_HEADS_PER_BLOCK, 1):
+            if heads % heads_per_block == 0 and lane_legal(heads_per_block * head_dim):
+                return ("headblock", heads_per_block)
+        return None
+    if padded_time <= MAX_QBLOCK_TIME:
+        for candidate_heads, candidate_block in _QBLOCK_CANDIDATES:
+            kv_bytes = 4 * padded_time * candidate_heads * head_dim * item_bytes
+            score_bytes = candidate_block * padded_time * 4
+            if (
+                heads % candidate_heads == 0
+                and lane_legal(candidate_heads * head_dim)
+                and candidate_block % 8 == 0
+                and padded_time % candidate_block == 0
+                and kv_bytes + score_bytes * 3 // 2 <= _QBLOCK_VMEM_BUDGET
+            ):
+                return ("qblock", (candidate_heads, candidate_block))
+        return None
+    return None
 
 
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
@@ -136,8 +180,15 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
     batch, time, model_dim = query.shape
     key_bias = key_bias[:, None, :]  # [B, 1, T]: blocks need >=2 trailing dims
     head_dim = model_dim // heads
-    heads_per_block = _HEADS_PER_BLOCK if heads % _HEADS_PER_BLOCK == 0 else 1
-    if time <= MAX_ONESHOT_TIME:
+    plan = plan_oneshot(heads, head_dim, time, query.dtype.itemsize, strict_lanes=not interpret)
+    if plan is None:
+        raise ValueError(
+            f"No legal one-shot attention configuration for heads={heads},"
+            f" head_dim={head_dim}, padded_time={time}; route through the flash"
+            " kernel instead (ops/attention.py does this automatically)"
+        )
+    mode, parameters = plan
+    if mode == "full":
         grid: tuple = (batch,)
         bias_spec = pl.BlockSpec((1, 1, time), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         qkv_spec = pl.BlockSpec(
@@ -148,10 +199,10 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
         )
         in_specs = [bias_spec, qkv_spec, qkv_spec, qkv_spec]
         out_spec = qkv_spec
-    elif time <= MAX_HEADBLOCK_TIME:
+    elif mode == "headblock":
         # Long utterances: block the head dimension so one [T, T] score tile at
-        # a time fits in VMEM alongside narrow [T, hb*hd] q/k/v tiles. An odd
-        # head count falls back to one head per cell (slower DMA, correct).
+        # a time fits in VMEM alongside narrow [T, hb*hd] q/k/v tiles.
+        heads_per_block = parameters
         grid = (batch, heads // heads_per_block)
         bias_spec = pl.BlockSpec((1, 1, time), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
         qkv_spec = pl.BlockSpec(
@@ -170,23 +221,11 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
     else:
         # Very long utterances: block the query axis too. Scores stay [Tq, T]
         # with the whole key axis resident, keeping the softmax single-pass.
-        # (heads_per_block, query_block) picked by a VMEM fit model calibrated
-        # on-device at T=2560: k/v tiles (pipelined x2) + 1.5x the f32 score
-        # scratch must stay under ~9.5 MB. More heads per cell amortizes the
-        # k/v DMA (reused across consecutive query blocks); measured -14%
+        # (heads_per_block, query_block) picked by the plan_oneshot VMEM fit
+        # model calibrated on-device at T=2560. More heads per cell amortizes
+        # the k/v DMA (reused across consecutive query blocks); measured -14%
         # kernel time for (4, 256) over (2, 256) at T=2560.
-        item_bytes = query.dtype.itemsize
-        heads_per_block, query_block = 1, 128
-        for candidate_heads, candidate_block in _QBLOCK_CANDIDATES:
-            kv_bytes = 4 * time * candidate_heads * head_dim * item_bytes
-            score_bytes = candidate_block * time * 4
-            if (
-                heads % candidate_heads == 0
-                and time % candidate_block == 0
-                and kv_bytes + score_bytes * 3 // 2 <= 9_500_000
-            ):
-                heads_per_block, query_block = candidate_heads, candidate_block
-                break
+        heads_per_block, query_block = parameters
         grid = (batch, heads // heads_per_block, time // query_block)
         bias_spec = pl.BlockSpec(
             (1, 1, time), lambda b, h, qb: (b, 0, 0), memory_space=pltpu.VMEM

@@ -45,10 +45,22 @@ def main() -> None:
     )
     bias = jnp.zeros((batch, time_frames), jnp.float32)
 
-    candidates = [(4, 320), (2, 320), (4, 256), (2, 256), (8, 128), (4, 128)]
+    candidates = [
+        (16, 128), (8, 256), (8, 128), (4, 512), (4, 320), (2, 320),
+        (4, 256), (2, 256), (4, 128),
+    ]
+    # Bypass the production VMEM fit model: let each candidate reach the
+    # compiler and fail there if it genuinely does not fit, so the sweep
+    # discovers the true frontier rather than the model's estimate of it.
+    osa._QBLOCK_VMEM_BUDGET = 64_000_000
     results = {}
     for heads_per_block, query_block in candidates:
-        if heads % heads_per_block or time_frames % query_block:
+        if (
+            heads % heads_per_block
+            or time_frames % query_block
+            or (heads_per_block * head_dim) % 128
+            or query_block % 8
+        ):
             continue
         osa._QBLOCK_CANDIDATES = ((heads_per_block, query_block),)
 
