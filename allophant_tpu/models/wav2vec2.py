@@ -30,6 +30,7 @@ import dataclasses
 from typing import List, Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -271,9 +272,13 @@ class SelfAttention(nn.Module):
         batch, time, _ = hidden.shape
 
         def project(name):
-            return nn.Dense(arch.hidden_size, dtype=self.dtype, name=name)(hidden).reshape(
-                batch, time, heads, head_dim
+            # Named so the remat policy can keep projection outputs: the
+            # backward pass then skips re-running the three projection matmuls
+            # (the attention vjp consumes q/k/v directly).
+            projected = jax.ad_checkpoint.checkpoint_name(
+                nn.Dense(arch.hidden_size, dtype=self.dtype, name=name)(hidden), "w2v2_qkv"
             )
+            return projected.reshape(batch, time, heads, head_dim)
 
         context = multi_head_attention(
             project("q_proj"),
@@ -296,6 +301,9 @@ class FeedForward(nn.Module):
     def __call__(self, hidden, deterministic: bool = True):
         arch = self.architecture
         hidden = nn.Dense(arch.intermediate_size, dtype=self.dtype, name="intermediate_dense")(hidden)
+        # Named so the remat policy can keep the [B, T, 4D] pre-GELU tile: the
+        # backward pass then skips re-running the widest matmul in the layer.
+        hidden = jax.ad_checkpoint.checkpoint_name(hidden, "w2v2_ffn_hidden")
         hidden = fast_gelu(hidden)
         hidden = nn.Dropout(arch.activation_dropout)(hidden, deterministic=deterministic)
         hidden = nn.Dense(arch.hidden_size, dtype=self.dtype, name="output_dense")(hidden)
@@ -379,9 +387,19 @@ class Wav2Vec2Encoder(nn.Module):
         embedded = hidden
 
         # Rematerialization trades FLOPs for memory during training: layer
-        # activations are recomputed in the backward pass instead of stored.
+        # activations are recomputed in the backward pass instead of stored —
+        # except the named projection/FFN tiles (~59 MB per layer at batch 8,
+        # 10 s audio), whose matmuls are the bulk of the recompute FLOPs.
         layer_class = (
-            nn.remat(_ScanEncoderLayer, static_argnums=(3,)) if self.remat else _ScanEncoderLayer
+            nn.remat(
+                _ScanEncoderLayer,
+                static_argnums=(3,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "w2v2_qkv", "w2v2_ffn_hidden"
+                ),
+            )
+            if self.remat
+            else _ScanEncoderLayer
         )
         scan_layers = nn.scan(
             layer_class,
