@@ -81,10 +81,15 @@ class AllophantModel(nn.Module):
     plan: ProjectionPlan
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # Whole-run-frozen prefix of the wav2vec2 chain (see Wav2Vec2Model.frozen_prefix);
+    # derived from the freeze flags by build_model, ignored by other acoustic models.
+    frozen_prefix: int = 0
 
     def setup(self):
         if isinstance(self.acoustic_config, Wav2Vec2Architecture):
-            self.acoustic_model = Wav2Vec2Model(self.acoustic_config, self.dtype, self.remat)
+            self.acoustic_model = Wav2Vec2Model(
+                self.acoustic_config, self.dtype, self.remat, self.frozen_prefix
+            )
         elif isinstance(self.acoustic_config, TransformerAcousticModelConfig):
             self.acoustic_model = TransformerAcousticModel(
                 self.acoustic_config, self.feature_size, self.dtype
@@ -229,8 +234,48 @@ def build_model(
         attribute_indexer,
     )
 
-    model = AllophantModel(acoustic_config, feature_size, plan, dtype, remat)
+    model = AllophantModel(
+        acoustic_config,
+        feature_size,
+        plan,
+        dtype,
+        remat,
+        frozen_prefix=whole_run_frozen_prefix(layer_config),
+    )
     return BuiltModel(model, static_data, d_model, output_size)
+
+
+def whole_run_frozen_prefix(layer_config) -> int:
+    """Longest prefix of (feature_extractor, feature_projection, encoder) that stays
+    frozen for the entire run: the freeze flag is set and no unfreeze schedule ever
+    thaws it (reference freeze flags + UnfreezeSchedule, acoustic_model.py:856-905).
+
+    Gradients into this prefix are structurally zero, so the model can insert
+    stop_gradient at the prefix boundary and XLA deletes the corresponding backward
+    computation — notably the conv-extractor backward over raw audio under the
+    default ``freeze_feature_encoder = true``. Groups thawed by a schedule (or
+    trainable ones) must keep their backward: their gradients are masked dynamically
+    by ``apply_freeze_plan`` instead."""
+    if not isinstance(layer_config, Wav2Vec2PretrainedConfig):
+        return 0
+    schedule = layer_config.unfreeze_schedule
+    prefix = 0
+    for frozen, thaw_steps in (
+        (
+            layer_config.freeze_feature_encoder,
+            None if schedule is None else schedule.feature_encoder_steps,
+        ),
+        (
+            layer_config.freeze_feature_projection,
+            None if schedule is None else schedule.feature_projection_steps,
+        ),
+        (layer_config.freeze_encoder, None if schedule is None else schedule.encoder_steps),
+    ):
+        if frozen and thaw_steps is None:
+            prefix += 1
+        else:
+            break
+    return prefix
 
 
 def attribute_graph_from_config(config, attribute_indexer: PhoneticAttributeIndexer) -> AttributeGraph:

@@ -290,6 +290,11 @@ class SelfAttention(nn.Module):
             deterministic=deterministic,
             dropout_rate=arch.attention_dropout,
         ).reshape(batch, time, arch.hidden_size)
+        # Named so the remat policy can keep the attention context ([B, T, D],
+        # ~8.4 MB/layer at batch 8): the rematerialized backward then skips
+        # re-running the attention kernel (it still differentiates through it
+        # via the custom_vjp, but the recompute-for-residual-stream run is gone).
+        context = jax.ad_checkpoint.checkpoint_name(context, "w2v2_attn_context")
         return nn.Dense(arch.hidden_size, dtype=self.dtype, name="out_proj")(context)
 
 
@@ -395,7 +400,7 @@ class Wav2Vec2Encoder(nn.Module):
                 _ScanEncoderLayer,
                 static_argnums=(3,),
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "w2v2_qkv", "w2v2_ffn_hidden"
+                    "w2v2_qkv", "w2v2_ffn_hidden", "w2v2_attn_context"
                 ),
             )
             if self.remat
@@ -428,6 +433,15 @@ class Wav2Vec2Model(nn.Module):
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # Longest prefix of (feature_extractor, feature_projection, encoder) whose
+    # parameters stay frozen for the entire run: 0 = none, 1 = extractor,
+    # 2 = +projection, 3 = +encoder. Gradients into such a prefix are
+    # structurally zero, so the forward inserts stop_gradient at the prefix
+    # boundary and XLA deletes the whole backward cone above it (the reference
+    # instead zeroes grads after computing them, acoustic_model.py:856-905).
+    # Must be a *prefix*: stopping gradients at any point also blocks flow-through
+    # to everything upstream, which is only sound when upstream is frozen too.
+    frozen_prefix: int = 0
 
     @nn.compact
     def __call__(self, audio, lengths, deterministic: bool = True):
@@ -442,6 +456,8 @@ class Wav2Vec2Model(nn.Module):
             audio = masking.zero_mean_unit_var_norm(audio, lengths, sample_mask)
 
         features = ConvFeatureEncoder(arch, self.dtype, name="feature_extractor")(audio)
+        if self.frozen_prefix >= 1:
+            features = jax.lax.stop_gradient(features)
         frame_lengths = arch.downsampled_lengths(lengths)
 
         # Pad the frame axis to a multiple of 128 once, before the encoder: the
@@ -466,9 +482,13 @@ class Wav2Vec2Model(nn.Module):
             pad_mask = None
 
         hidden = FeatureProjection(arch, self.dtype, name="feature_projection")(features, deterministic)
+        if self.frozen_prefix >= 2:
+            hidden = jax.lax.stop_gradient(hidden)
         hidden_states = Wav2Vec2Encoder(arch, self.dtype, self.remat, name="encoder")(
             hidden, pad_mask, deterministic
         )
+        if self.frozen_prefix >= 3:
+            hidden_states = [jax.lax.stop_gradient(states) for states in hidden_states]
         if frame_pad:
             hidden_states = [states[:, :true_frames] for states in hidden_states]
         return hidden_states, frame_lengths

@@ -646,7 +646,13 @@ class TrainingRun:
             params = replicate_pytree(params, self._mesh)
             opt_state = replicate_pytree(opt_state, self._mesh)
             other_variables = replicate_pytree(other_variables, self._mesh)
-        rng = jax.random.PRNGKey(architecture.seed or 0)
+        # Dropout bits come from the "rbg" PRNG (XLA RngBitGenerator): the default
+        # threefry impl costs ~100 ms/step at the flagship shape (three dropouts per
+        # layer over [B, T, 4D] tiles, generated again inside the rematerialized
+        # backward), measured 447 -> 347 ms/step on one v5e chip. Parameter
+        # initialization keeps the default threefry impl (estimator.py) for
+        # checkpoint reproducibility; dropout patterns only need statistical quality.
+        rng = jax.random.key(architecture.seed or 0, impl="rbg")
         step_size = architecture.step_size
         maximum_iterations = architecture.maximum_iterations
 

@@ -335,3 +335,78 @@ class TestRemat:
         grad_remat = jax.grad(lambda p: loss(remat, p))(variables)
         for a, b in zip(jax.tree_util.tree_leaves(grad_plain), jax.tree_util.tree_leaves(grad_remat)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
+
+
+class TestFrozenPrefix:
+    def test_prefix_from_config(self):
+        from allophant_tpu.models.allophant import whole_run_frozen_prefix
+
+        base = Wav2Vec2PretrainedConfig("some-model", freeze_feature_encoder=True)
+        assert whole_run_frozen_prefix(base) == 1
+        assert (
+            whole_run_frozen_prefix(
+                Wav2Vec2PretrainedConfig(
+                    "m",
+                    freeze_feature_encoder=True,
+                    freeze_feature_projection=True,
+                    freeze_encoder=True,
+                )
+            )
+            == 3
+        )
+        # A scheduled thaw keeps the group out of the static prefix.
+        assert (
+            whole_run_frozen_prefix(
+                Wav2Vec2PretrainedConfig(
+                    "m",
+                    freeze_feature_encoder=True,
+                    unfreeze_schedule=UnfreezeScheduleConfig(feature_encoder_steps=5),
+                )
+            )
+            == 0
+        )
+        # Prefix must be contiguous from the extractor: trainable extractor blocks
+        # stop_gradient for the frozen projection (flow-through grads must survive).
+        assert (
+            whole_run_frozen_prefix(
+                Wav2Vec2PretrainedConfig(
+                    "m", freeze_feature_encoder=False, freeze_feature_projection=True
+                )
+            )
+            == 0
+        )
+
+    def test_stop_gradient_matches_masked_gradients(self):
+        """frozen_prefix=1 must produce exactly the gradients of the unfrozen model
+        with extractor grads zeroed: stop_gradient is an optimization, not a change
+        in training semantics."""
+        from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture, Wav2Vec2Model
+
+        arch = Wav2Vec2Architecture(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=64, conv_dim=(16,) * 7,
+            hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0,
+        )
+        rng = np.random.default_rng(1)
+        audio = jnp.asarray(rng.standard_normal((2, 3200)).astype(np.float32))
+        lengths = jnp.full((2,), 3200, dtype=jnp.int32)
+
+        plain = Wav2Vec2Model(arch, jnp.float32)
+        frozen = Wav2Vec2Model(arch, jnp.float32, frozen_prefix=1)
+        variables = plain.init(jax.random.PRNGKey(0), audio, lengths)
+
+        def loss(model, params):
+            hidden_states, _ = model.apply(params, audio, lengths)
+            return (hidden_states[-1] ** 2).sum()
+
+        grad_plain = jax.grad(lambda p: loss(plain, p))(variables)["params"]
+        grad_frozen = jax.grad(lambda p: loss(frozen, p))(variables)["params"]
+
+        for leaf in jax.tree_util.tree_leaves(grad_frozen["feature_extractor"]):
+            assert np.allclose(np.asarray(leaf), 0.0)
+        for name in ("feature_projection", "encoder"):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(grad_plain[name]),
+                jax.tree_util.tree_leaves(grad_frozen[name]),
+            ):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)

@@ -63,7 +63,7 @@ def main() -> None:
         )
         microbatches[f"label_lengths_{name}"] = jnp.full((accumulation, batch), 30, jnp.int32)
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl="rbg")  # same typed rbg dropout key as training/run.py
 
     def run():
         start = time.perf_counter()
