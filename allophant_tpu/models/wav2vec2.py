@@ -264,7 +264,7 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, pad_mask, deterministic: bool = True):
-        from allophant_tpu.ops.attention import multi_head_attention
+        from allophant_tpu.ops.attention import kernel_dropout_supported, multi_head_attention
 
         arch = self.architecture
         heads = arch.num_attention_heads
@@ -280,6 +280,17 @@ class SelfAttention(nn.Module):
             )
             return projected.reshape(batch, time, heads, head_dim)
 
+        # Training attention dropout runs inside the one-shot kernel when the
+        # sequence fits its full-tile plan (the mask never touches HBM); the
+        # rng key is drawn here only on that path so the einsum fallback's
+        # nn.Dropout consumes the same "dropout" stream it always did.
+        use_kernel_dropout = (
+            not deterministic
+            and arch.attention_dropout > 0.0
+            and kernel_dropout_supported(heads, head_dim, time, jnp.dtype(self.dtype).itemsize)
+        )
+        dropout_rng = self.make_rng("dropout") if use_kernel_dropout else None
+
         context = multi_head_attention(
             project("q_proj"),
             project("k_proj"),
@@ -289,6 +300,7 @@ class SelfAttention(nn.Module):
             dropout_module=nn.Dropout(arch.attention_dropout),
             deterministic=deterministic,
             dropout_rate=arch.attention_dropout,
+            dropout_rng=dropout_rng,
         ).reshape(batch, time, arch.hidden_size)
         # Named so the remat policy can keep the attention context ([B, T, D],
         # ~8.4 MB/layer at batch 8): the rematerialized backward then skips

@@ -164,6 +164,62 @@ def reference_attention(
     return jnp.einsum("bhts,bshd->bthd", weights, value)
 
 
+def kernel_dropout_supported(heads: int, head_dim: int, time: int, item_bytes: int) -> bool:
+    """True when training attention dropout can run inside the one-shot Pallas
+    kernel: TPU backend and the padded sequence fits the full-tile plan. The
+    caller draws the dropout PRNG key only on this path (the einsum fallback
+    draws through ``nn.Dropout`` instead)."""
+    if not _flash_available():
+        return False
+    from allophant_tpu.ops.oneshot_attention import plan_oneshot
+
+    padded_time = time + _pad_to_block(time)
+    plan = plan_oneshot(heads, head_dim, padded_time, item_bytes)
+    return plan is not None and plan[0] == "full"
+
+
+def dropout_attention(
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    pad_mask,
+    sm_scale: float,
+    dropout_rng,
+    dropout_rate: float,
+) -> jnp.ndarray:
+    """Attention with weight dropout drawn inside the one-shot kernel.
+
+    The einsum path materializes the [B, H, T, T] dropout mask in HBM — u32
+    draws plus a relayout copy, generated again inside the rematerialized
+    backward (~80 ms/step at the flagship training shape). Here the mask is a
+    pure function of two i32 seeds and the (batch, head) indices: the forward
+    draws it in VMEM, and the custom_vjp backward regenerates it (reference
+    HF attention-dropout semantics, torch F.dropout on softmaxed weights)."""
+    from allophant_tpu.ops.oneshot_attention import NEG_INF, oneshot_dropout_attention
+
+    batch, time, heads, head_dim = query.shape
+    model_dim = heads * head_dim
+    q = query.reshape(batch, time, model_dim)
+    k = key.reshape(batch, time, model_dim)
+    v = value.reshape(batch, time, model_dim)
+    if pad_mask is None:
+        bias = jnp.zeros((batch, time), jnp.float32)
+    else:
+        bias = jnp.where(pad_mask, 0.0, NEG_INF).astype(jnp.float32)
+    pad = _pad_to_block(time)
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    seeds = jax.random.randint(dropout_rng, (2,), -(2**31), 2**31 - 1, dtype=jnp.int32)
+    out = oneshot_dropout_attention(q, k, v, bias, seeds, sm_scale, heads, dropout_rate)
+    if pad:
+        out = out[:, :time]
+    return out.reshape(batch, time, heads, head_dim)
+
+
 def multi_head_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,
@@ -173,11 +229,17 @@ def multi_head_attention(
     dropout_module=None,
     deterministic: bool = True,
     dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
-    """Dispatch: flash kernel for deterministic/no-dropout attention on TPU,
-    einsum reference otherwise."""
+    """Dispatch: flash/one-shot kernel for deterministic attention on TPU,
+    in-kernel dropout when the caller supplies ``dropout_rng`` (training on
+    TPU within the full one-shot plan), einsum reference otherwise."""
     if deterministic or dropout_rate == 0.0 or dropout_module is None:
         return fused_attention(query, key, value, pad_mask, sm_scale)
+    if dropout_rng is not None:
+        return dropout_attention(
+            query, key, value, pad_mask, sm_scale, dropout_rng, dropout_rate
+        )
     return reference_attention(
         query, key, value, pad_mask, sm_scale, dropout_module, deterministic
     )

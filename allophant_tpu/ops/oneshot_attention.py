@@ -110,6 +110,87 @@ def plan_oneshot(
     return None
 
 
+def _keep_threshold(rate: float) -> np.uint32:
+    """Attention-dropout keep threshold: a weight survives when its uniform u32
+    draw is strictly below ``round((1 - rate) * 2^32)`` (resolution 2^-32)."""
+    return np.uint32(min(2**32 - 1, int(round((1.0 - rate) * 2**32))))
+
+
+def _attention_dropout_kernel(
+    seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale, rate
+):
+    """Full-tile attention with in-kernel weight dropout.
+
+    The reference applies torch dropout to the softmaxed [B, H, T, T] weights
+    (HF Wav2Vec2Attention). Materializing that mask in HBM (u32 bits + relayout
+    copy + compare, twice under rematerialization) costs ~80 ms/step at the
+    flagship training shape; here the mask is drawn from the Mosaic PRNG
+    directly in VMEM and never leaves the chip. The PRNG is re-seeded per
+    (batch, head) — ``(seed0, seed1, b, h)`` — so the backward pass can
+    regenerate the identical mask tile-by-tile (``_dropout_mask``).
+
+    Dropout-on-probabilities folds into the unnormalized form: with keep mask
+    m and keep probability k, out = ((m * exps) @ v) / (total * k), where total
+    sums the UNmasked exps (softmax normalizes before dropout)."""
+    bias = bias_ref[0] * _LOG2E
+    batch_index = pl.program_id(0)
+    threshold = _keep_threshold(rate)
+    keep_prob = np.float32(float(threshold) / 2**32)
+    for head in range(heads):
+        lo = head * head_dim
+        hi = lo + head_dim
+        q = q_ref[0, :, lo:hi] * np.float32(sm_scale * _LOG2E)
+        k = k_ref[0, :, lo:hi]
+        v = v_ref[0, :, lo:hi]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        peak = jnp.max(scores, axis=-1, keepdims=True)
+        exps = jnp.exp2(scores - peak + bias)
+        total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
+        # Mosaic seeds take at most two i32s: fold (batch, head) into the first
+        # (same mixing as _dropout_mask_kernel so the backward regenerates the
+        # identical stream).
+        pltpu.prng_seed(seed_ref[0] + batch_index * heads + head, seed_ref[1])
+        random_bits = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(scores.shape), jnp.uint32
+        )
+        exps = jnp.where(random_bits < threshold, exps, 0.0)
+        probabilities = (exps / (total * keep_prob)).astype(v.dtype)
+        context = jax.lax.dot_general(
+            probabilities, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        out_ref[0, :, lo:hi] = context.astype(out_ref.dtype)
+
+
+def _dropout_mask_kernel(seed_ref, out_ref, *, heads):
+    """Regenerates one head's dropout draws for the backward pass: identical
+    seeding and draw shape to ``_attention_dropout_kernel``, so the bit stream
+    matches the forward exactly."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * heads + pl.program_id(1), seed_ref[1])
+    out_ref[0, 0] = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(out_ref.shape[2:]), jnp.uint32
+    )
+
+
+def _dropout_mask_bits(seeds, batch, heads, time, interpret=False):
+    """Raw per-(batch, head) dropout draws [B, H, T, T] u32 — compare against
+    ``_keep_threshold(rate)`` for the keep mask."""
+    return pl.pallas_call(
+        functools.partial(_dropout_mask_kernel, heads=heads),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, heads),
+            in_specs=[],
+            out_specs=pl.BlockSpec(
+                (1, 1, time, time), lambda b, h, seed_ref: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, time, time), jnp.uint32),
+        interpret=interpret,
+    )(seeds)
+
+
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
     # Softmax runs in base 2: folding log2(e) into the scale and bias makes the
     # exp an exp2, which is cheaper on the VPU and bit-equivalent in f32.
@@ -256,6 +337,97 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
         out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
         interpret=interpret,
     )(key_bias, query, key, value)
+
+
+def _oneshot_dropout_forward(query, key, value, key_bias, seeds, sm_scale, heads, rate):
+    """Full-tile attention with in-kernel weight dropout (see
+    ``_attention_dropout_kernel``); only the "full" plan supports dropout —
+    longer sequences fall back to the einsum path in ops/attention.py."""
+    batch, time, model_dim = query.shape
+    key_bias = key_bias[:, None, :]
+    head_dim = model_dim // heads
+    plan = plan_oneshot(heads, head_dim, time, query.dtype.itemsize)
+    if plan is None or plan[0] != "full":
+        raise ValueError(
+            f"In-kernel attention dropout requires the full one-shot plan"
+            f" (padded_time={time} > {MAX_ONESHOT_TIME}); route through the"
+            " einsum path instead (ops/attention.py does this automatically)"
+        )
+    bias_spec = pl.BlockSpec((1, 1, time), lambda b, seeds: (b, 0, 0), memory_space=pltpu.VMEM)
+    qkv_spec = pl.BlockSpec(
+        (1, time, model_dim), lambda b, seeds: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _attention_dropout_kernel,
+        heads=heads,
+        head_dim=head_dim,
+        sm_scale=np.float32(sm_scale),
+        rate=rate,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch,),
+            in_specs=[bias_spec, qkv_spec, qkv_spec, qkv_spec],
+            out_specs=qkv_spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
+    )(seeds, key_bias, query, key, value)
+
+
+def _reference_bthd_dropout(query, key, value, key_bias, keep_mask, sm_scale, heads, rate):
+    """Differentiable einsum formulation of attention-with-weight-dropout: the
+    backward consumes the keep mask regenerated from the forward's seeds."""
+    batch, time, model_dim = query.shape
+    head_dim = model_dim // heads
+    shape = (batch, time, heads, head_dim)
+    logits = jnp.einsum(
+        "bthd,bshd->bhts",
+        query.reshape(shape) * sm_scale,
+        key.reshape(shape),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits + key_bias[:, None, None, :]
+    weights = jax.nn.softmax(logits, axis=-1)
+    keep_prob = float(_keep_threshold(rate)) / 2**32
+    weights = jnp.where(keep_mask, weights * (1.0 / keep_prob), 0.0).astype(query.dtype)
+    context = jnp.einsum("bhts,bshd->bthd", weights, value.reshape(shape))
+    return context.reshape(batch, time, model_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def oneshot_dropout_attention(query, key, value, key_bias, seeds, sm_scale, heads, rate):
+    """[B, T, H*hd] attention with in-kernel weight dropout; T must be
+    128-aligned and within the full one-shot plan. ``seeds`` is an i32[2]
+    array; the mask is a pure function of (seeds, batch, head), letting the
+    backward regenerate it instead of materializing it in the forward."""
+    return _oneshot_dropout_forward(query, key, value, key_bias, seeds, sm_scale, heads, rate)
+
+
+def _oneshot_dropout_fwd(query, key, value, key_bias, seeds, sm_scale, heads, rate):
+    out = _oneshot_dropout_forward(query, key, value, key_bias, seeds, sm_scale, heads, rate)
+    return out, (query, key, value, key_bias, seeds)
+
+
+def _oneshot_dropout_bwd(sm_scale, heads, rate, residuals, cotangent):
+    query, key, value, key_bias, seeds = residuals
+    batch, time, _model_dim = query.shape
+    bits = _dropout_mask_bits(seeds, batch, heads, time)
+    keep_mask = bits < _keep_threshold(rate)
+    _, vjp = jax.vjp(
+        lambda q, k, v: _reference_bthd_dropout(
+            q, k, v, key_bias, keep_mask, sm_scale, heads, rate
+        ),
+        query,
+        key,
+        value,
+    )
+    d_query, d_key, d_value = vjp(cotangent)
+    return d_query, d_key, d_value, None, None
+
+
+oneshot_dropout_attention.defvjp(_oneshot_dropout_fwd, _oneshot_dropout_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

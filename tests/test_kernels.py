@@ -333,3 +333,146 @@ class TestOneshotAttention:
         valid = np.broadcast_to(mask[:, :, None], out.shape)
         assert np.isfinite(out).all()
         np.testing.assert_allclose(out[valid], expected[valid], atol=2e-5)
+
+
+class TestKernelAttentionDropout:
+    """In-kernel attention-weight dropout (oneshot_dropout_attention).
+
+    The Mosaic PRNG has no interpret-mode lowering, so the kernel-execution
+    tests are gated on a real TPU backend (run them with
+    ``JAX_PLATFORMS=axon python -m pytest tests/test_kernels.py -k dropout``);
+    the routing and threshold math tests run everywhere."""
+
+    def test_keep_threshold_math(self):
+        from allophant_tpu.ops.oneshot_attention import _keep_threshold
+
+        assert _keep_threshold(0.0) == 2**32 - 1
+        # rate 0.1 -> keep probability within 2^-32 of 0.9
+        threshold = _keep_threshold(0.1)
+        assert abs(float(threshold) / 2**32 - 0.9) < 1e-9
+        assert _keep_threshold(1.0) == 0
+
+    @pytest.mark.skipif(
+        jax.default_backend() in ("tpu", "axon"),
+        reason="asserts the CPU fallback; on TPU the kernel path is expected",
+    )
+    def test_routing_falls_back_on_cpu(self):
+        """CPU backends must not take the kernel-dropout path (no Mosaic PRNG):
+        kernel_dropout_supported gates on the flash/Pallas TPU backend."""
+        from allophant_tpu.ops.attention import kernel_dropout_supported
+
+        assert not kernel_dropout_supported(4, 64, 512, 4)
+
+    def test_training_forward_applies_dropout_on_cpu(self):
+        """The einsum fallback still applies weight dropout under training
+        (statistically: dropped weights change the context output)."""
+        import flax.linen as nn
+
+        from allophant_tpu.ops.attention import multi_head_attention
+
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.standard_normal((2, 64, 4, 16)).astype(np.float32))
+        deterministic = multi_head_attention(q, q, q, None, 0.25)
+        module = nn.Dropout(0.5)
+
+        class Wrapper(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return multi_head_attention(
+                    x, x, x, None, 0.25,
+                    dropout_module=nn.Dropout(0.5),
+                    deterministic=False,
+                    dropout_rate=0.5,
+                )
+
+        out = Wrapper().apply({}, q, rngs={"dropout": jax.random.PRNGKey(0)})
+        assert not np.allclose(np.asarray(out), np.asarray(deterministic), atol=1e-3)
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="Mosaic PRNG requires a real TPU backend",
+    )
+    def test_kernel_forward_matches_masked_einsum(self):
+        """The kernel's in-VMEM mask must equal the backward's regenerated mask:
+        forward output == einsum formulation fed the dumped mask bits."""
+        from allophant_tpu.ops.oneshot_attention import (
+            NEG_INF,
+            _dropout_mask_bits,
+            _keep_threshold,
+            _reference_bthd_dropout,
+            oneshot_dropout_attention,
+        )
+
+        batch, time, heads, head_dim = 2, 256, 4, 64
+        rate = 0.1
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        bias = jnp.zeros((batch, time), jnp.float32).at[:, 200:].set(NEG_INF)
+        seeds = jnp.asarray([123, 456], jnp.int32)
+        scale = head_dim**-0.5
+
+        out = jax.jit(lambda *a: oneshot_dropout_attention(*a, scale, heads, rate))(
+            q, k, v, bias, seeds
+        )
+        out_again = jax.jit(lambda *a: oneshot_dropout_attention(*a, scale, heads, rate))(
+            q, k, v, bias, seeds
+        )
+        assert (np.asarray(out) == np.asarray(out_again)).all()  # deterministic in seeds
+
+        bits = jax.jit(lambda s: _dropout_mask_bits(s, batch, heads, time))(seeds)
+        keep = np.asarray(bits) < _keep_threshold(rate)
+        assert abs(keep.mean() - 0.9) < 5e-3
+        expected = _reference_bthd_dropout(q, k, v, bias, jnp.asarray(keep), scale, heads, rate)
+        # MXU default-precision drift only (inputs pass the MXU in bf16).
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :200], np.asarray(expected)[:, :200], atol=2e-2
+        )
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="Mosaic PRNG requires a real TPU backend",
+    )
+    def test_kernel_gradients_match_masked_einsum(self):
+        from allophant_tpu.ops.oneshot_attention import (
+            NEG_INF,
+            _dropout_mask_bits,
+            _keep_threshold,
+            _reference_bthd_dropout,
+            oneshot_dropout_attention,
+        )
+
+        batch, time, heads, head_dim = 2, 128, 2, 64
+        rate = 0.2
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        bias = jnp.zeros((batch, time), jnp.float32)
+        seeds = jnp.asarray([7, 11], jnp.int32)
+        scale = head_dim**-0.5
+
+        grads = jax.jit(
+            jax.grad(
+                lambda q_, k_, v_: (
+                    oneshot_dropout_attention(q_, k_, v_, bias, seeds, scale, heads, rate) ** 2
+                ).sum(),
+                argnums=(0, 1, 2),
+            )
+        )(q, k, v)
+        assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+        bits = jax.jit(lambda s: _dropout_mask_bits(s, batch, heads, time))(seeds)
+        keep = jnp.asarray(np.asarray(bits) < _keep_threshold(rate))
+        reference_grads = jax.jit(
+            jax.grad(
+                lambda q_, k_, v_: (
+                    _reference_bthd_dropout(q_, k_, v_, bias, keep, scale, heads, rate) ** 2
+                ).sum(),
+                argnums=(0, 1, 2),
+            )
+        )(q, k, v)
+        for got, expected in zip(grads, reference_grads):
+            # Cotangents differ by the kernel-vs-einsum primal drift; bound loosely.
+            np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-2)
