@@ -15,7 +15,7 @@ import re
 import tomllib
 from dataclasses import dataclass, field
 from enum import Enum
-from typing import Any, ClassVar, Dict, List, Optional, Pattern, Sequence, Union
+from typing import Any, ClassVar, Dict, List, Optional, Pattern, Sequence, Tuple, Union
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +513,33 @@ class Wav2Vec2PretrainedConfig:
     freeze_feature_projection: bool = False
     freeze_encoder: bool = False
     unfreeze_schedule: Optional[UnfreezeScheduleConfig] = None
+
+    def freeze_groups(self) -> Tuple[Tuple[str, bool, Optional[int]], ...]:
+        """(params subtree, freeze flag, thaw step or None) per freezable group,
+        in forward-chain order feature_extractor -> feature_projection ->
+        encoder. Single source for both gradient masking
+        (``training/train_step.py:build_freeze_plan``) and the stop_gradient
+        prefix (``models/allophant.py:whole_run_frozen_prefix``) — the two must
+        agree or frozen-prefix stop_gradient would silently zero gradients the
+        freeze plan considers trainable."""
+        schedule = self.unfreeze_schedule
+        return (
+            (
+                "feature_extractor",
+                self.freeze_feature_encoder,
+                None if schedule is None else schedule.feature_encoder_steps,
+            ),
+            (
+                "feature_projection",
+                self.freeze_feature_projection,
+                None if schedule is None else schedule.feature_projection_steps,
+            ),
+            (
+                "encoder",
+                self.freeze_encoder,
+                None if schedule is None else schedule.encoder_steps,
+            ),
+        )
 
     def to_dict(self) -> Dict[str, Any]:
         return {

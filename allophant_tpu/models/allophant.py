@@ -258,19 +258,8 @@ def whole_run_frozen_prefix(layer_config) -> int:
     by ``apply_freeze_plan`` instead."""
     if not isinstance(layer_config, Wav2Vec2PretrainedConfig):
         return 0
-    schedule = layer_config.unfreeze_schedule
     prefix = 0
-    for frozen, thaw_steps in (
-        (
-            layer_config.freeze_feature_encoder,
-            None if schedule is None else schedule.feature_encoder_steps,
-        ),
-        (
-            layer_config.freeze_feature_projection,
-            None if schedule is None else schedule.feature_projection_steps,
-        ),
-        (layer_config.freeze_encoder, None if schedule is None else schedule.encoder_steps),
-    ):
+    for _subtree, frozen, thaw_steps in layer_config.freeze_groups():
         if frozen and thaw_steps is None:
             prefix += 1
         else:

@@ -286,7 +286,9 @@ class SelfAttention(nn.Module):
         # nn.Dropout consumes the same "dropout" stream it always did.
         use_kernel_dropout = (
             not deterministic
-            and arch.attention_dropout > 0.0
+            # rate >= 1 would make the kernel's keep_prob normalization 0/0;
+            # the einsum fallback returns finite zero-context outputs instead.
+            and 0.0 < arch.attention_dropout < 1.0
             and kernel_dropout_supported(heads, head_dim, time, jnp.dtype(self.dtype).itemsize)
         )
         dropout_rng = self.make_rng("dropout") if use_kernel_dropout else None

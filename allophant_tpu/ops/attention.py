@@ -55,11 +55,7 @@ def fused_attention(
     if not _flash_available():
         return reference_attention(query, key, value, pad_mask, sm_scale)
 
-    from allophant_tpu.ops.oneshot_attention import (
-        NEG_INF,
-        oneshot_attention,
-        plan_oneshot,
-    )
+    from allophant_tpu.ops.oneshot_attention import oneshot_attention, plan_oneshot
 
     pad = _pad_to_block(time)
     if plan_oneshot(heads, head_dim, time + pad, query.dtype.itemsize) is not None:
@@ -68,20 +64,7 @@ def fused_attention(
         # score tile shrinks from full [T, T] through head-blocked to
         # query-blocked as T grows. ~3x faster than the flash path at T=512,
         # B=64 on v5e.
-        model_dim = heads * head_dim
-        q = query.reshape(batch, time, model_dim)
-        k = key.reshape(batch, time, model_dim)
-        v = value.reshape(batch, time, model_dim)
-        if pad_mask is None:
-            bias = jnp.zeros((batch, time), jnp.float32)
-        else:
-            bias = jnp.where(pad_mask, 0.0, NEG_INF).astype(jnp.float32)
-        if pad:
-            widths = ((0, 0), (0, pad), (0, 0))
-            q = jnp.pad(q, widths)
-            k = jnp.pad(k, widths)
-            v = jnp.pad(v, widths)
-            bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        q, k, v, bias = _oneshot_layout(query, key, value, pad_mask, pad)
         out = oneshot_attention(q, k, v, bias, sm_scale, heads)
         if pad:
             out = out[:, :time]
@@ -164,6 +147,30 @@ def reference_attention(
     return jnp.einsum("bhts,bshd->bthd", weights, value)
 
 
+def _oneshot_layout(query, key, value, pad_mask, pad):
+    """Shared one-shot kernel pre-processing: fold heads into [B, T, H*hd],
+    express padding as an additive f32 key bias (0 valid / NEG_INF padded), and
+    right-pad the time axis to the 128-aligned kernel length."""
+    from allophant_tpu.ops.oneshot_attention import NEG_INF
+
+    batch, time, heads, head_dim = query.shape
+    model_dim = heads * head_dim
+    q = query.reshape(batch, time, model_dim)
+    k = key.reshape(batch, time, model_dim)
+    v = value.reshape(batch, time, model_dim)
+    if pad_mask is None:
+        bias = jnp.zeros((batch, time), jnp.float32)
+    else:
+        bias = jnp.where(pad_mask, 0.0, NEG_INF).astype(jnp.float32)
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    return q, k, v, bias
+
+
 def kernel_dropout_supported(heads: int, head_dim: int, time: int, item_bytes: int) -> bool:
     """True when training attention dropout can run inside the one-shot Pallas
     kernel: TPU backend and the padded sequence fits the full-tile plan. The
@@ -171,11 +178,10 @@ def kernel_dropout_supported(heads: int, head_dim: int, time: int, item_bytes: i
     draws through ``nn.Dropout`` instead)."""
     if not _flash_available():
         return False
-    from allophant_tpu.ops.oneshot_attention import plan_oneshot
+    from allophant_tpu.ops.oneshot_attention import plan_oneshot_dropout
 
     padded_time = time + _pad_to_block(time)
-    plan = plan_oneshot(heads, head_dim, padded_time, item_bytes)
-    return plan is not None and plan[0] == "full"
+    return plan_oneshot_dropout(heads, head_dim, padded_time, item_bytes) is not None
 
 
 def dropout_attention(
@@ -191,28 +197,16 @@ def dropout_attention(
 
     The einsum path materializes the [B, H, T, T] dropout mask in HBM — u32
     draws plus a relayout copy, generated again inside the rematerialized
-    backward (~80 ms/step at the flagship training shape). Here the mask is a
-    pure function of two i32 seeds and the (batch, head) indices: the forward
-    draws it in VMEM, and the custom_vjp backward regenerates it (reference
-    HF attention-dropout semantics, torch F.dropout on softmaxed weights)."""
-    from allophant_tpu.ops.oneshot_attention import NEG_INF, oneshot_dropout_attention
+    backward (~29 ms/step at the flagship training shape with the rbg PRNG;
+    ~3x that under threefry). Here the mask is a pure function of two i32
+    seeds and the (batch, head) indices: the forward draws it in VMEM, and the
+    custom_vjp backward regenerates it (reference HF attention-dropout
+    semantics, torch F.dropout on softmaxed weights)."""
+    from allophant_tpu.ops.oneshot_attention import oneshot_dropout_attention
 
     batch, time, heads, head_dim = query.shape
-    model_dim = heads * head_dim
-    q = query.reshape(batch, time, model_dim)
-    k = key.reshape(batch, time, model_dim)
-    v = value.reshape(batch, time, model_dim)
-    if pad_mask is None:
-        bias = jnp.zeros((batch, time), jnp.float32)
-    else:
-        bias = jnp.where(pad_mask, 0.0, NEG_INF).astype(jnp.float32)
     pad = _pad_to_block(time)
-    if pad:
-        widths = ((0, 0), (0, pad), (0, 0))
-        q = jnp.pad(q, widths)
-        k = jnp.pad(k, widths)
-        v = jnp.pad(v, widths)
-        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    q, k, v, bias = _oneshot_layout(query, key, value, pad_mask, pad)
     seeds = jax.random.randint(dropout_rng, (2,), -(2**31), 2**31 - 1, dtype=jnp.int32)
     out = oneshot_dropout_attention(q, k, v, bias, seeds, sm_scale, heads, dropout_rate)
     if pad:

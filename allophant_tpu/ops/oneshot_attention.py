@@ -116,6 +116,31 @@ def _keep_threshold(rate: float) -> np.uint32:
     return np.uint32(min(2**32 - 1, int(round((1.0 - rate) * 2**32))))
 
 
+# Scoped-VMEM budget for the dropout variant of the full one-shot kernel: the
+# [T, T] u32 draw tile plus the exps copy push the plain full plan's envelope,
+# so legality is a separate calibrated fit — modeled as double-buffered q/k/v/out
+# io tiles plus three f32-sized [T, T] scratch tiles (scores, exps, draws).
+# Calibrated against on-device compiles at D=1024: bf16 T=512 (modeled 11.5 MB)
+# compiles; bf16 T=640 (15.4 MB) and f32 T=512 (19.9 MB) overflow the 16 MB
+# scoped limit ("Scoped allocation with size 23.55M ... exceeded").
+_DROPOUT_VMEM_BUDGET = 12_500_000
+
+
+def plan_oneshot_dropout(heads: int, head_dim: int, padded_time: int, item_bytes: int):
+    """Kernel plan for attention with in-kernel dropout, or None when the shape
+    must fall back to the einsum dropout path (ops/attention.py does this
+    automatically). Only the "full" variant supports dropout draws."""
+    plan = plan_oneshot(heads, head_dim, padded_time, item_bytes)
+    if plan is None or plan[0] != "full":
+        return None
+    model_dim = heads * head_dim
+    io_bytes = 2 * 4 * padded_time * model_dim * item_bytes
+    scratch_bytes = 3 * padded_time * padded_time * 4
+    if io_bytes + scratch_bytes > _DROPOUT_VMEM_BUDGET:
+        return None
+    return plan
+
+
 def _attention_dropout_kernel(
     seed_ref, bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale, rate
 ):
@@ -123,9 +148,9 @@ def _attention_dropout_kernel(
 
     The reference applies torch dropout to the softmaxed [B, H, T, T] weights
     (HF Wav2Vec2Attention). Materializing that mask in HBM (u32 bits + relayout
-    copy + compare, twice under rematerialization) costs ~80 ms/step at the
-    flagship training shape; here the mask is drawn from the Mosaic PRNG
-    directly in VMEM and never leaves the chip. The PRNG is re-seeded per
+    copy + compare, twice under rematerialization) costs ~29 ms/step at the
+    flagship training shape even with the cheap rbg PRNG; here the mask is
+    drawn from the Mosaic PRNG directly in VMEM and never leaves the chip. The PRNG is re-seeded per
     (batch, head) — ``(seed0, seed1, b, h)`` — so the backward pass can
     regenerate the identical mask tile-by-tile (``_dropout_mask``).
 
@@ -346,12 +371,14 @@ def _oneshot_dropout_forward(query, key, value, key_bias, seeds, sm_scale, heads
     batch, time, model_dim = query.shape
     key_bias = key_bias[:, None, :]
     head_dim = model_dim // heads
-    plan = plan_oneshot(heads, head_dim, time, query.dtype.itemsize)
-    if plan is None or plan[0] != "full":
+    plan = plan_oneshot_dropout(heads, head_dim, time, query.dtype.itemsize)
+    if plan is None:
         raise ValueError(
-            f"In-kernel attention dropout requires the full one-shot plan"
-            f" (padded_time={time} > {MAX_ONESHOT_TIME}); route through the"
-            " einsum path instead (ops/attention.py does this automatically)"
+            f"No legal in-kernel dropout configuration for heads={heads},"
+            f" head_dim={head_dim}, padded_time={time},"
+            f" itemsize={query.dtype.itemsize} (requires the full one-shot plan"
+            " within the dropout VMEM budget); route through the einsum path"
+            " instead (ops/attention.py does this automatically)"
         )
     bias_spec = pl.BlockSpec((1, 1, time), lambda b, seeds: (b, 0, 0), memory_space=pltpu.VMEM)
     qkv_spec = pl.BlockSpec(

@@ -647,9 +647,9 @@ class TrainingRun:
             opt_state = replicate_pytree(opt_state, self._mesh)
             other_variables = replicate_pytree(other_variables, self._mesh)
         # Dropout bits come from the "rbg" PRNG (XLA RngBitGenerator): the default
-        # threefry impl costs ~100 ms/step at the flagship shape (three dropouts per
+        # threefry impl costs ~110 ms/step at the flagship shape (three dropouts per
         # layer over [B, T, 4D] tiles, generated again inside the rematerialized
-        # backward), measured 447 -> 347 ms/step on one v5e chip. Parameter
+        # backward), measured 447 -> 335 ms/step on one v5e chip. Parameter
         # initialization keeps the default threefry impl (estimator.py) for
         # checkpoint reproducibility; dropout patterns only need statistical quality.
         rng = jax.random.key(architecture.seed or 0, impl="rbg")

@@ -164,25 +164,8 @@ def build_freeze_plan(acoustic_config) -> FreezePlan:
 
     if not isinstance(acoustic_config, Wav2Vec2PretrainedConfig):
         return FreezePlan()
-    schedule = acoustic_config.unfreeze_schedule
     groups = []
-    for frozen, schedule_steps, subtree in (
-        (
-            acoustic_config.freeze_feature_encoder,
-            None if schedule is None else schedule.feature_encoder_steps,
-            "feature_extractor",
-        ),
-        (
-            acoustic_config.freeze_feature_projection,
-            None if schedule is None else schedule.feature_projection_steps,
-            "feature_projection",
-        ),
-        (
-            acoustic_config.freeze_encoder,
-            None if schedule is None else schedule.encoder_steps,
-            "encoder",
-        ),
-    ):
+    for subtree, frozen, schedule_steps in acoustic_config.freeze_groups():
         if frozen or schedule_steps is not None:
             groups.append((("acoustic_model", subtree), schedule_steps))
     return FreezePlan(tuple(groups))

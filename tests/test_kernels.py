@@ -340,8 +340,9 @@ class TestKernelAttentionDropout:
 
     The Mosaic PRNG has no interpret-mode lowering, so the kernel-execution
     tests are gated on a real TPU backend (run them with
-    ``JAX_PLATFORMS=axon python -m pytest tests/test_kernels.py -k dropout``);
-    the routing and threshold math tests run everywhere."""
+    ``ALLOPHANT_TEST_TPU=1 python -m pytest tests/test_kernels.py -k Dropout``
+    — the conftest forces the cpu platform otherwise); the routing and
+    threshold math tests run everywhere."""
 
     def test_keep_threshold_math(self):
         from allophant_tpu.ops.oneshot_attention import _keep_threshold
@@ -351,6 +352,21 @@ class TestKernelAttentionDropout:
         threshold = _keep_threshold(0.1)
         assert abs(float(threshold) / 2**32 - 0.9) < 1e-9
         assert _keep_threshold(1.0) == 0
+
+    def test_vmem_fit_model(self):
+        """The dropout variant's VMEM budget is tighter than the plain full
+        plan: calibrated on-device (D=1024: bf16 T=512 compiles, bf16 T=640 and
+        f32 T=512 overflow the 16 MB scoped limit)."""
+        from allophant_tpu.ops.oneshot_attention import plan_oneshot, plan_oneshot_dropout
+
+        # The flagship training shape fits.
+        assert plan_oneshot_dropout(16, 64, 512, 2) is not None
+        # Shapes the plain full plan allows but the dropout draws push over.
+        assert plan_oneshot(16, 64, 640, 2) == ("full", 16)
+        assert plan_oneshot_dropout(16, 64, 640, 2) is None
+        assert plan_oneshot_dropout(16, 64, 512, 4) is None
+        # Non-full plans never support in-kernel dropout.
+        assert plan_oneshot_dropout(16, 64, 1024, 2) is None
 
     @pytest.mark.skipif(
         jax.default_backend() in ("tpu", "axon"),
@@ -373,7 +389,6 @@ class TestKernelAttentionDropout:
         rng = np.random.default_rng(5)
         q = jnp.asarray(rng.standard_normal((2, 64, 4, 16)).astype(np.float32))
         deterministic = multi_head_attention(q, q, q, None, 0.25)
-        module = nn.Dropout(0.5)
 
         class Wrapper(nn.Module):
             @nn.compact
