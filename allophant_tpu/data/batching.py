@@ -186,11 +186,20 @@ def build_batch(
     process's local slice assembles into one consistently shaped distributed
     array."""
     batch_size = len(samples)
-    padded_batch = batch_size
-    if pad_batch_to_power_of_two and batch_size > 0:
-        padded_batch = 1 << (batch_size - 1).bit_length()
     if pad_to_batch is not None:
-        padded_batch = max(padded_batch, pad_to_batch)
+        # A global target pins the row count exactly: every process must
+        # assemble the same shape, so a fuller process must not round its
+        # local slice past the agreed target (and a tail process must not
+        # fall short of it).
+        if pad_to_batch < batch_size:
+            raise ValueError(
+                f"Global batch target {pad_to_batch} is smaller than the local slice ({batch_size})"
+            )
+        padded_batch = pad_to_batch
+    elif pad_batch_to_power_of_two and batch_size > 0:
+        padded_batch = 1 << (batch_size - 1).bit_length()
+    else:
+        padded_batch = batch_size
 
     max_length = max(sample.length for sample in samples)
     padded_length = _round_up(max_length, length_multiple)

@@ -161,6 +161,8 @@ def ctc_loss_sum_heads(
         return {}
     max_labels = max(labels.shape[1] for _name, _logits, labels, _ll in heads)
     time = heads[0][1].shape[1]
+    if any(logits.shape[1] != time for _name, logits, _labels, _ll in heads):
+        raise ValueError("All fused CTC heads must share the same frame count")
 
     emit_rows = []
     blank_rows = []

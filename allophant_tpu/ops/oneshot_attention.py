@@ -20,9 +20,9 @@ Padding is an additive f32 key bias (0 valid / -1e9 padded), matching the
 reference einsum formulation (`ops/attention.py:reference_attention`). Padded
 *query* rows attend over the valid keys and produce garbage-in-garbage-out
 values that downstream masking drops; a fully-padded (zero-length) batch
-element produces all-zero rows (clamped softmax denominator) rather than the
-einsum path's uniform average — both are garbage by contract, and zeros keep
-NaNs out of any unmasked reduction.
+element normalizes around its own biased peak and produces the einsum path's
+uniform garbage average (finite, so NaNs stay out of any unmasked reduction,
+with a denominator clamp guarding the 0/0 corner).
 
 The backward pass delegates to the flash/einsum path via ``jax.custom_vjp`` —
 training differentiates the same math, inference never pays for transposes.
@@ -170,7 +170,7 @@ def _attention_dropout_kernel(
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        peak = jnp.max(scores, axis=-1, keepdims=True)
+        peak = jnp.max(scores + bias, axis=-1, keepdims=True)
         exps = jnp.exp2(scores - peak + bias)
         total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
         # Mosaic seeds take at most two i32s: fold (batch, head) into the first
@@ -224,22 +224,26 @@ def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim
         lo = head * head_dim
         hi = lo + head_dim
         # The softmax scale multiplies the narrow [T, hd] query tile instead of
-        # the [T, T] score tile, and the key bias rides the exp2 argument with
-        # an UNBIASED peak — exp2(s - peak + bias) — so the score tile sees
-        # three VPU passes (max, fused sub/add/exp2, sum) instead of four.
-        # An unbiased peak only rescales numerator and denominator identically;
-        # exp2(-1e9 * log2e) still flushes padded keys to exactly 0.
+        # the [T, T] score tile, and the key bias rides the exp2 argument —
+        # exp2(s - peak + bias) — so the score tile sees three VPU passes
+        # (fused add+max, fused sub/add/exp2, sum) instead of four. The peak is
+        # taken over the BIASED scores: an unbiased peak would be mathematically
+        # equivalent but lets a garbage padded-key score dominate and underflow
+        # every valid key's exp2 (the add fuses into the max reduction, so the
+        # pass count is unchanged). Padded keys still flush to exactly 0:
+        # s - peak is bounded while bias is -1e9 * log2e.
         q = q_ref[0, :, lo:hi] * np.float32(sm_scale * _LOG2E)
         k = k_ref[0, :, lo:hi]
         v = v_ref[0, :, lo:hi]
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        peak = jnp.max(scores, axis=-1, keepdims=True)
+        peak = jnp.max(scores + bias, axis=-1, keepdims=True)
         exps = jnp.exp2(scores - peak + bias)
-        # Clamped: a fully-padded row (zero-length batch element) has an all-zero
-        # weight row and yields 0 output rather than 0/0 = NaN. Downstream
-        # length masks drop those frames either way.
+        # Clamp guards the 0/0 = NaN corner; a fully-padded row (zero-length
+        # batch element) normalizes around its own biased peak and yields the
+        # einsum path's uniform garbage average. Downstream length masks drop
+        # those frames either way.
         total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
         # Normalization happens on the weight tile here (unlike the query-blocked
         # kernel below): deferring it past the matmul keeps ``total`` and an f32
@@ -259,7 +263,7 @@ def _qblock_attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, h
         lo = head * head_dim
         hi = lo + head_dim
         # Scale on the narrow q tile + bias folded into the exp2 argument with
-        # an unbiased peak — one fewer full VPU pass over the [Tq, T] score
+        # a BIASED peak — one fewer full VPU pass over the [Tq, T] score
         # tile (see _attention_kernel).
         q = q_ref[0, :, lo:hi] * np.float32(sm_scale * _LOG2E)  # [Tq, hd]
         k = k_ref[0, :, lo:hi]  # [T, hd]
@@ -267,7 +271,7 @@ def _qblock_attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, h
         scores = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        peak = jnp.max(scores, axis=-1, keepdims=True)
+        peak = jnp.max(scores + bias, axis=-1, keepdims=True)
         exps = jnp.exp2(scores - peak + bias)
         total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
         # Normalization deferred past the context matmul: it then runs over the

@@ -1019,19 +1019,28 @@ def _resolve_macro_language_variants(pool: DataFrame, unresolved: Set[str]) -> D
     key, phonetic_features.py:1105-1107; we implement the stated intent.)
     Returns ``{requested code: chosen PHOIBLE variant}``; raises if any requested
     language has no variant with allophone data at all."""
-    awaiting = {LanguageCode.from_str(code, True, True).alpha3_t: code for code in unresolved}
+    awaiting: Dict[str, List[str]] = {}
+    for code in unresolved:
+        awaiting.setdefault(LanguageCode.from_str(code, True, True).alpha3_t, []).append(code)
     chosen: Dict[str, str] = {}
+    resolved_by_macro: Dict[str, List[str]] = {}
     for variant in pool["ISO6393"].unique():
         macro = LanguageCode.from_str(variant, True, True).alpha3_t
         if macro in awaiting:
-            chosen[awaiting.pop(macro)] = variant
-        elif variant == macro and macro in chosen:
-            chosen[macro] = variant
+            requested_codes = awaiting.pop(macro)
+            resolved_by_macro[macro] = requested_codes
+            for code in requested_codes:
+                chosen[code] = variant
+        elif variant == macro and macro in resolved_by_macro:
+            # The macro-language inventory itself exists later in the pool:
+            # it replaces the sibling variant picked first.
+            for code in resolved_by_macro[macro]:
+                chosen[code] = variant
 
     if awaiting:
         raise ValueError(
             "Some of the requested languages don't contain allophone data:"
-            f" {sorted(awaiting.values())}"
+            f" {sorted(code for codes in awaiting.values() for code in codes)}"
         )
     return chosen
 

@@ -396,3 +396,46 @@ class TestPanphonFeatureSet:
             pass
         with pytest.raises(FileNotFoundError):
             read_panphon(None)
+
+
+class TestMacroLanguageResolution:
+    """_resolve_macro_language_variants: requested codes without their own
+    PHOIBLE inventory resolve through their macro-language (reference
+    phonetic_features.py:1095-1110; the reference's macro-preference update
+    writes the wrong dict key — we implement the stated intent and pin it)."""
+
+    def test_macro_inventory_replaces_sibling_variant(self):
+        import pandas as pd
+
+        from allophant_tpu.phonetics.features import _resolve_macro_language_variants
+
+        # 'arz' (a sibling variant) appears before the macro code 'ara' itself:
+        # the macro inventory must win for every requested Arabic variant.
+        pool = pd.DataFrame({"ISO6393": ["arz", "spa", "ara"]})
+        assert _resolve_macro_language_variants(pool, {"arb", "aeb"}) == {
+            "arb": "ara",
+            "aeb": "ara",
+        }
+
+    def test_two_requested_codes_sharing_a_macro(self):
+        import pandas as pd
+
+        from allophant_tpu.phonetics.features import _resolve_macro_language_variants
+
+        # Without the macro inventory, both variants get the available sibling —
+        # neither silently vanishes (regression: a dict comprehension keyed by
+        # macro kept only the last requested code per macro).
+        pool = pd.DataFrame({"ISO6393": ["arz", "spa"]})
+        assert _resolve_macro_language_variants(pool, {"arb", "aeb"}) == {
+            "arb": "arz",
+            "aeb": "arz",
+        }
+
+    def test_unresolvable_code_is_reported(self):
+        import pandas as pd
+
+        from allophant_tpu.phonetics.features import _resolve_macro_language_variants
+
+        pool = pd.DataFrame({"ISO6393": ["arz", "spa"]})
+        with pytest.raises(ValueError, match="quc"):
+            _resolve_macro_language_variants(pool, {"quc"})
