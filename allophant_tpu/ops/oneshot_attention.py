@@ -216,6 +216,152 @@ def _dropout_mask_bits(seeds, batch, heads, time, interpret=False):
     )(seeds)
 
 
+def _attention_dropout_bwd_kernel(
+    seed_ref,
+    bias_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    g_ref,
+    dq_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    heads,
+    head_dim,
+    total_heads,
+    sm_scale,
+    rate,
+):
+    """Fused attention-dropout backward: per (batch, head-block) cell, computes
+    dq/dk/dv with the dropout mask regenerated in VMEM.
+
+    The einsum vjp materializes the [B, H, T, T] logits, weights, mask, and two
+    gradient tensors in HBM (~1 GB/layer at the flagship training shape); here
+    every [T, T] tile lives in VMEM and HBM sees only the narrow [T, hd] q/k/v/g
+    reads and dq/dk/dv writes. Seeding matches the forward
+    (``seed0 + b * total_heads + global_head``), so the mask is bit-identical.
+
+    Math (out = (m/keep ∘ softmax(s)) @ v, s = q kᵀ sm_scale):
+        dv = (m/keep ∘ p)ᵀ @ g
+        dp = m/keep ∘ (g @ vᵀ)
+        ds = p ∘ (dp − ⟨dp, p⟩_row)          (softmax vjp)
+        dq = ds @ k · sm_scale,  dk = dsᵀ @ q · sm_scale
+    Padded keys have p = 0 and ds = 0, so their dk/dv rows vanish exactly.
+
+    ``rate=None`` compiles the dropout-free variant (identity mask, no PRNG
+    ops) — the backward of the plain ``oneshot_attention``."""
+    bias = bias_ref[0] * _LOG2E
+    if rate is not None:
+        threshold = _keep_threshold(rate)
+        inverse_keep = np.float32(2**32 / float(threshold))
+    batch_index = pl.program_id(0)
+    head_block = pl.program_id(1)
+    for head in range(heads):
+        lo = head * head_dim
+        hi = lo + head_dim
+        q = q_ref[0, :, lo:hi]
+        k = k_ref[0, :, lo:hi]
+        v = v_ref[0, :, lo:hi]
+        g = g_ref[0, :, lo:hi]
+        scores = jax.lax.dot_general(
+            q * np.float32(sm_scale * _LOG2E),
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        peak = jnp.max(scores + bias, axis=-1, keepdims=True)
+        exps = jnp.exp2(scores - peak + bias)
+        total = jnp.maximum(jnp.sum(exps, axis=-1, keepdims=True), _TINY_TOTAL)
+        probabilities = exps / total
+        if rate is not None:
+            global_head = head_block * heads + head
+            pltpu.prng_seed(seed_ref[0] + batch_index * total_heads + global_head, seed_ref[1])
+            random_bits = jax.lax.bitcast_convert_type(
+                pltpu.prng_random_bits(scores.shape), jnp.uint32
+            )
+            mask_scale = jnp.where(random_bits < threshold, inverse_keep, 0.0)
+            dropped = (probabilities * mask_scale).astype(g.dtype)
+        else:
+            dropped = probabilities.astype(g.dtype)
+        # dv[t_k, d] = sum_tq dropped[tq, tk] g[tq, d]
+        d_value = jax.lax.dot_general(
+            dropped, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv_ref[0, :, lo:hi] = d_value.astype(dv_ref.dtype)
+        # dp[tq, tk] = mask_scale * (g @ v^T)
+        d_probabilities = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate is not None:
+            d_probabilities = d_probabilities * mask_scale
+        row = jnp.sum(d_probabilities * probabilities, axis=-1, keepdims=True)
+        d_scores = (probabilities * (d_probabilities - row)).astype(q.dtype)
+        d_query = jax.lax.dot_general(
+            d_scores, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0, :, lo:hi] = (d_query * np.float32(sm_scale)).astype(dq_ref.dtype)
+        d_key = jax.lax.dot_general(
+            d_scores, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_ref[0, :, lo:hi] = (d_key * np.float32(sm_scale)).astype(dk_ref.dtype)
+
+
+# Heads per backward grid cell: 2 x head_dim=64 keeps block widths lane-legal
+# (128-divisible) on real TPUs.
+_BWD_HEADS_PER_BLOCK = 2
+# Scoped-VMEM budget for the backward kernel's fit model: ~6 live f32 [T, T]
+# tiles (scores/exps/probabilities/bits/mask/d_probabilities, some aliased by
+# Mosaic) plus the double-buffered narrow io tiles.
+_DROPOUT_BWD_VMEM_BUDGET = 12_500_000
+
+
+def _bwd_kernel_supported(heads: int, head_dim: int, time: int, item_bytes: int) -> bool:
+    if heads % _BWD_HEADS_PER_BLOCK:
+        return False
+    if (_BWD_HEADS_PER_BLOCK * head_dim) % 128:
+        return False
+    io_bytes = 2 * 8 * time * _BWD_HEADS_PER_BLOCK * head_dim * item_bytes
+    scratch_bytes = 6 * time * time * 4
+    return io_bytes + scratch_bytes <= _DROPOUT_BWD_VMEM_BUDGET
+
+
+def _oneshot_dropout_backward(
+    query, key, value, cotangent, key_bias, seeds, sm_scale, heads, rate
+):
+    """Runs the fused backward kernel (``rate=None`` = no dropout); caller
+    checks ``_bwd_kernel_supported``."""
+    batch, time, model_dim = query.shape
+    head_dim = model_dim // heads
+    key_bias = key_bias[:, None, :]
+    heads_per_block = _BWD_HEADS_PER_BLOCK
+    bias_spec = pl.BlockSpec((1, 1, time), lambda b, h, seeds: (b, 0, 0), memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec(
+        (1, time, heads_per_block * head_dim),
+        lambda b, h, seeds: (b, 0, h),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _attention_dropout_bwd_kernel,
+        heads=heads_per_block,
+        head_dim=head_dim,
+        total_heads=heads,
+        sm_scale=np.float32(sm_scale),
+        rate=rate,
+    )
+    shape = jax.ShapeDtypeStruct(query.shape, query.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, heads // heads_per_block),
+            in_specs=[bias_spec, tile_spec, tile_spec, tile_spec, tile_spec],
+            out_specs=[tile_spec, tile_spec, tile_spec],
+        ),
+        out_shape=[shape, shape, shape],
+    )(seeds, key_bias, query, key, value, cotangent)
+
+
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
     # Softmax runs in base 2: folding log2(e) into the scale and bias makes the
     # exp an exp2, which is cheaper on the VPU and bit-equivalent in f32.
@@ -443,7 +589,15 @@ def _oneshot_dropout_fwd(query, key, value, key_bias, seeds, sm_scale, heads, ra
 
 def _oneshot_dropout_bwd(sm_scale, heads, rate, residuals, cotangent):
     query, key, value, key_bias, seeds = residuals
-    batch, time, _model_dim = query.shape
+    batch, time, model_dim = query.shape
+    head_dim = model_dim // heads
+    if _bwd_kernel_supported(heads, head_dim, time, query.dtype.itemsize):
+        d_query, d_key, d_value = _oneshot_dropout_backward(
+            query, key, value, cotangent, key_bias, seeds, sm_scale, heads, rate
+        )
+        return d_query, d_key, d_value, None, None
+    # Odd head counts / lane-illegal widths: regenerate the mask into HBM and
+    # differentiate the einsum formulation instead.
     bits = _dropout_mask_bits(seeds, batch, heads, time)
     keep_mask = bits < _keep_threshold(rate)
     _, vjp = jax.vjp(
@@ -522,12 +676,26 @@ def _flash_bthd(query, key, value, key_bias, sm_scale, heads):
 
 def _oneshot_bwd(sm_scale, heads, residuals, cotangent):
     query, key, value, key_bias = residuals
-    batch, time, _model_dim = query.shape
+    batch, time, model_dim = query.shape
+    head_dim = model_dim // heads
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and _bwd_kernel_supported(heads, head_dim, time, query.dtype.itemsize):
+        # Fused Pallas backward: every [T, T] tile stays in VMEM (the seeds are
+        # unused in the dropout-free variant).
+        d_query, d_key, d_value = _oneshot_dropout_backward(
+            query,
+            key,
+            value,
+            cotangent,
+            key_bias,
+            jnp.zeros((2,), jnp.int32),
+            sm_scale,
+            heads,
+            rate=None,
+        )
+        return d_query, d_key, d_value, None
     score_bytes = 4 * batch * heads * time * time
-    use_flash = score_bytes > _EINSUM_BACKWARD_SCORE_BYTES and jax.default_backend() in (
-        "tpu",
-        "axon",
-    )
+    use_flash = score_bytes > _EINSUM_BACKWARD_SCORE_BYTES and on_tpu
     formulation = _flash_bthd if use_flash else _reference_bthd
     _, vjp = jax.vjp(
         lambda q, k, v: formulation(q, k, v, key_bias, sm_scale, heads), query, key, value

@@ -491,3 +491,82 @@ class TestKernelAttentionDropout:
         for got, expected in zip(grads, reference_grads):
             # Cotangents differ by the kernel-vs-einsum primal drift; bound loosely.
             np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-2)
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="Pallas backward kernel requires a real TPU backend",
+    )
+    def test_fused_backward_matches_masked_einsum(self):
+        """The fused Pallas backward (mask regenerated in VMEM) must produce
+        the masked-einsum formulation's gradients."""
+        from allophant_tpu.ops.oneshot_attention import (
+            NEG_INF,
+            _bwd_kernel_supported,
+            _dropout_mask_bits,
+            _keep_threshold,
+            _reference_bthd_dropout,
+            oneshot_dropout_attention,
+        )
+
+        batch, time, heads, head_dim = 2, 256, 4, 64
+        rate = 0.1
+        assert _bwd_kernel_supported(heads, head_dim, time, 4)
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        bias = jnp.zeros((batch, time), jnp.float32).at[:, 200:].set(NEG_INF)
+        seeds = jnp.asarray([123, 456], jnp.int32)
+        scale = head_dim**-0.5
+
+        def loss(q_, k_, v_):
+            out = oneshot_dropout_attention(q_, k_, v_, bias, seeds, scale, heads, rate)
+            return (out[:, :200] ** 2).sum()
+
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+        bits = jax.jit(lambda s: _dropout_mask_bits(s, batch, heads, time))(seeds)
+        keep = jnp.asarray(np.asarray(bits) < _keep_threshold(rate))
+
+        def loss_ref(q_, k_, v_):
+            out = _reference_bthd_dropout(q_, k_, v_, bias, keep, scale, heads, rate)
+            return (out[:, :200] ** 2).sum()
+
+        reference = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        for got, expected in zip(grads, reference):
+            scale_bound = float(np.abs(np.asarray(expected)).max())
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(expected), atol=0.01 * scale_bound
+            )
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="Pallas backward kernel requires a real TPU backend",
+    )
+    def test_fused_backward_no_dropout_matches_einsum(self):
+        """oneshot_attention's backward takes the fused kernel (rate=None) on
+        supported shapes; gradients must match the einsum formulation."""
+        from allophant_tpu.ops import oneshot_attention as osa
+
+        batch, time, heads, head_dim = 2, 256, 4, 64
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((batch, time, heads * head_dim)).astype(np.float32))
+        bias = jnp.zeros((batch, time), jnp.float32).at[:, 200:].set(osa.NEG_INF)
+        scale = head_dim**-0.5
+
+        def loss(q_, k_, v_):
+            return (osa.oneshot_attention(q_, k_, v_, bias, scale, heads)[:, :200] ** 2).sum()
+
+        grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+        def loss_ref(q_, k_, v_):
+            return (osa._reference_bthd(q_, k_, v_, bias, scale, heads)[:, :200] ** 2).sum()
+
+        reference = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        for got, expected in zip(grads, reference):
+            scale_bound = float(np.abs(np.asarray(expected)).max())
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(expected), atol=0.01 * scale_bound
+            )
