@@ -203,9 +203,20 @@ def compute_edit_statistics(
                     if error_rate < lowest_error_rate:
                         lowest_error_rate = error_rate
                         best_statistics = statistics
+                if best_statistics is None:
+                    # All candidates scored +inf (empty reference, no exact
+                    # match): the reference skips the utterance (run.py:457-462,
+                    # reusing its no-candidates warning text).
+                    warnings.warn(
+                        f"Each category needs at least one candidate output, got no candidates"
+                        f" for {name!r} in line {line} with utterance ID {prediction.utterance_id}"
+                    )
+                    continue
                 edit_statistics[language][name] += best_statistics
             else:
-                collected.append((language, name, expected, processed))
+                collected.append(
+                    (language, name, expected, processed, line, prediction.utterance_id)
+                )
 
     progress.close()
     if collected:
@@ -214,12 +225,14 @@ def compute_edit_statistics(
 
 
 def _accumulate_device_statistics(
-    collected: List[Tuple[str, str, List[str], List[List[str]]]],
+    collected: List[Tuple[str, str, List[str], List[List[str]], int, str]],
     edit_statistics: Dict[str, Dict[str, EditStatistics]],
 ) -> None:
     """Scores all (expected, candidate) pairs in one batched device program, selects
     the min-WER candidate per entry (first on ties, like the host loop) and adds the
-    batched I/D/S/C statistics."""
+    batched I/D/S/C statistics. Entries whose best candidate still scores +inf
+    (empty reference, no exact match) are skipped with a warning, matching the
+    host path and the reference (run.py:457-462)."""
     import numpy as np
 
     from allophant_tpu.ops.levenshtein import (
@@ -231,7 +244,7 @@ def _accumulate_device_statistics(
     expected_flat: List[List[str]] = []
     candidate_flat: List[List[str]] = []
     offsets = [0]
-    for _language, _name, expected, candidates in collected:
+    for _language, _name, expected, candidates, _line, _utterance in collected:
         for candidate in candidates:
             expected_flat.append(expected)
             candidate_flat.append(candidate)
@@ -255,8 +268,20 @@ def _accumulate_device_statistics(
         )
 
     best_indices = []
-    for start, end in zip(offsets[:-1], offsets[1:]):
-        best_indices.append(start + int(np.argmin(rates[start:end])))
+    kept_entries = []
+    for entry, (start, end) in enumerate(zip(offsets[:-1], offsets[1:])):
+        best_offset = int(np.argmin(rates[start:end]))
+        if not np.isfinite(rates[start + best_offset]):
+            language, name, _expected, _candidates, line, utterance_id = collected[entry]
+            warnings.warn(
+                f"Each category needs at least one candidate output, got no candidates"
+                f" for {name!r} in line {line} with utterance ID {utterance_id}"
+            )
+            continue
+        best_indices.append(start + best_offset)
+        kept_entries.append(entry)
+    if not best_indices:
+        return
     best = np.asarray(best_indices)
 
     insertions, deletions, substitutions, correct = (
@@ -268,7 +293,8 @@ def _accumulate_device_statistics(
             jnp.asarray(b_lengths[best]),
         )
     )
-    for row, (language, name, _expected, _candidates) in enumerate(collected):
+    for row, entry in enumerate(kept_entries):
+        language, name, _expected, _candidates, _line, _utterance = collected[entry]
         edit_statistics[language][name] += EditStatistics(
             int(insertions[row]), int(deletions[row]), int(substitutions[row]), int(correct[row])
         )
@@ -314,7 +340,18 @@ def compute_edits(
         edits: Dict[str, List] = {}
         expected_sequences: Dict[str, List[str]] = {}
         for name, expected, candidates in _process_prediction(prediction, references, processor):
-            actual = next(_process_candidates(candidates, processor, language, name in IPA_LAYERS))
+            # next() on an empty iterator would raise StopIteration, which PEP 479
+            # turns into a RuntimeError inside this generator — skip and warn like
+            # the statistics path instead.
+            actual = next(
+                _process_candidates(candidates, processor, language, name in IPA_LAYERS), None
+            )
+            if actual is None:
+                warnings.warn(
+                    f"Each category needs at least one candidate output, got no candidates"
+                    f" for {name!r} in line {line} with utterance ID {prediction.utterance_id}"
+                )
+                continue
             edits[name] = levensthein_substitutions(expected, actual)
             expected_sequences[name] = expected
         yield UtteranceEdits(language, prediction.utterance_id, expected_sequences, edits)

@@ -299,7 +299,17 @@ def build_projection_plan(
         for target in node.dependencies:
             attribute_node = attribute_graph.get(target)
             if attribute_node is None:
-                # Acoustic model taps are pseudo-nodes.
+                # Acoustic model taps are pseudo-nodes — but only names matching
+                # OUTPUT/OUTPUT_<i>; anything else is a typo that would otherwise
+                # surface as an opaque KeyError at apply time (the reference
+                # validates the same way, acoustic_model.py:362-380).
+                if not ProjectionEntryConfig.OUTPUT_PATTERN.match(target):
+                    raise ValueError(
+                        f"Unknown dependency {target!r} of classifier {node.name!r}:"
+                        " not a classifier name or an acoustic-model output tap"
+                        f" ({ProjectionEntryConfig.OUTPUT_DEPENDENCY!r}/"
+                        f"{ProjectionEntryConfig.OUTPUT_DEPENDENCY!r}_<layer>)"
+                    )
                 dependencies.append(DependencyPlan(target, output_features, True))
                 input_size += output_features
                 required_output_layers.add(target)

@@ -224,10 +224,12 @@ def sequence_cross_entropy_sum(
 ) -> jnp.ndarray:
     """Summed cross entropy over mean-pooled (masked) frame logits; one label per
     utterance (reference loss_functions.py:30-44 feeds pooled logits)."""
-    import jax
-
     mask = masking.mask_sequence(logit_lengths, logits.shape[1]).astype(logits.dtype)
-    pooled = (logits * mask[:, :, None]).sum(axis=1) / logit_lengths[:, None].astype(logits.dtype)
+    # Clamped denominator: batch-padding filler rows can downsample to zero
+    # frames, and 0/0 = NaN would survive the zero row weight below (NaN * 0).
+    pooled = (logits * mask[:, :, None]).sum(axis=1) / jnp.maximum(
+        logit_lengths[:, None], 1
+    ).astype(logits.dtype)
     num_classes = pooled.shape[-1]
     log_probs = jax.nn.log_softmax(pooled.astype(jnp.float32), axis=-1)
     targets = jnp.squeeze(labels, axis=-1) if labels.ndim > 1 else labels

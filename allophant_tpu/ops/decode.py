@@ -9,7 +9,6 @@ configuration the reference uses (lexicon-free, ``log_add=True``, sil == blank).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 from typing import Any, List, NamedTuple
@@ -156,17 +155,6 @@ def _hypotheses_from_host(
             [CTCHypothesis(tokens[row, :count], [], float(scores[row]), timesteps[row, :count])]
         )
     return outputs
-
-
-@dataclasses.dataclass
-class _Beam:
-    prefix: tuple
-    log_blank: float  # log prob of prefix ending in blank
-    log_non_blank: float  # log prob of prefix ending in its last token
-    timesteps: tuple
-
-    def total(self) -> float:
-        return np.logaddexp(self.log_blank, self.log_non_blank)
 
 
 def _log_add(a: float, b: float) -> float:
@@ -483,6 +471,11 @@ class DeviceBeamCTCDecoder:
         outputs: List[List[CTCHypothesis]] = []
         for row in range(batch):
             order = np.argsort(scores[row])[::-1][: self._n_best]
+            # Dead beam slots (score pinned at _NEG_INF) are padding, not real
+            # hypotheses — flashlight returns only live beams. Keep at least the
+            # best slot so every utterance yields one hypothesis.
+            live = [beam for beam in order if scores[row, beam] > _NEG_INF / 2]
+            order = live if live else list(order[:1])
             hypotheses = []
             for beam in order:
                 sequence: List[int] = []

@@ -27,15 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("uniform",))
+@jax.jit
 def batched_levenshtein_distances(
     sequences_a: jnp.ndarray,
     lengths_a: jnp.ndarray,
     sequences_b: jnp.ndarray,
     lengths_b: jnp.ndarray,
-    uniform: bool = True,
 ) -> jnp.ndarray:
-    """Levenshtein distances for a batch of padded int id sequences.
+    """Uniform-cost Levenshtein distances for a batch of padded int id sequences
+    (weighted substitution costs live in the host ``PropertyWeighting`` engine).
 
     ``sequences_a``: [B, M]; ``sequences_b``: [B, N]; returns [B] float32 distances.
     Padding values are ignored via the length vectors."""

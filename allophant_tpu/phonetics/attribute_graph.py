@@ -77,6 +77,14 @@ class AttributeGraph:
         for index, node in enumerate(nodes):
             self._nodes.append(node)
             self._node_indices[node.name] = index
+        for node in self._nodes:
+            for dependency in node.dependencies:
+                if not OUTPUT_PATTERN.match(dependency) and dependency not in self._node_indices:
+                    raise ValueError(
+                        f"Unknown dependency {dependency!r} of classifier {node.name!r}:"
+                        " not a classifier name or an acoustic-model output tap"
+                        " (OUTPUT/OUTPUT_<layer>)"
+                    )
         self._edges: List[List[int]] = [
             [
                 self._node_indices[dependency]

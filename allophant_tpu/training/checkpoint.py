@@ -144,11 +144,6 @@ def load_native(file_path: str) -> Checkpoint:
     )
 
 
-def _normalize_keys(mapping: Dict) -> Dict:
-    """marshmallow dumps may carry int or str keys depending on the serializer."""
-    return mapping
-
-
 def load_reference_checkpoint(file_path: str) -> Checkpoint:
     """Loads a reference (torch) checkpoint file: the marshmallow-dumped dict saved by
     the reference's ``Checkpoint.save`` (estimator.py:221-227)."""
@@ -206,22 +201,34 @@ def save_orbax(checkpoint: Checkpoint, directory: str) -> None:
     written in parallel across hosts on multi-chip topologies) plus the same metadata
     the native format carries. The TPU-native choice for large sharded training
     state; the single-file msgpack format remains the default for portability."""
+    import jax
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
-    os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, ORBAX_METADATA_FILE), "w", encoding="utf-8") as file:
-        json.dump(_checkpoint_metadata(checkpoint), file)
-    if checkpoint.optimizer_state is not None:
-        with open(os.path.join(directory, "optimizer_state.bin"), "wb") as file:
-            file.write(checkpoint.optimizer_state)
+    # The orbax variable save below is a coordinated multi-process operation,
+    # but the metadata/optimizer files and the stale-directory cleanup are
+    # plain filesystem writes: only one process may perform them, and every
+    # process must wait for the cleanup before entering the coordinated save.
+    primary = jax.process_index() == 0
+    if primary:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, ORBAX_METADATA_FILE), "w", encoding="utf-8") as file:
+            json.dump(_checkpoint_metadata(checkpoint), file)
+        if checkpoint.optimizer_state is not None:
+            with open(os.path.join(directory, "optimizer_state.bin"), "wb") as file:
+                file.write(checkpoint.optimizer_state)
 
-    checkpointer = ocp.StandardCheckpointer()
     variables_path = os.path.join(directory, "variables")
-    if os.path.exists(variables_path):
+    if primary and os.path.exists(variables_path):
         import shutil
 
         shutil.rmtree(variables_path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("allophant_orbax_save_cleanup")
+
+    checkpointer = ocp.StandardCheckpointer()
     checkpointer.save(variables_path, serialization.to_state_dict(checkpoint.variables))
     checkpointer.wait_until_finished()
 

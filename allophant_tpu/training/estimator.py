@@ -77,12 +77,28 @@ def infer_wav2vec2_architecture(model_state: Dict[str, np.ndarray]) -> Wav2Vec2A
     layer_norm_mode = (
         "layer" if prefix + "feature_extractor.conv_layers.1.layer_norm.weight" in model_state else "group"
     )
-    stable = prefix + "encoder.layers.0.layer_norm.weight" in model_state and (
-        prefix + "encoder.layer_norm.weight" in model_state
-    )
+    # Pre-norm ("stable") vs post-norm encoders have IDENTICAL parameter key
+    # sets in HF wav2vec2 — the difference is norm placement, not names — so
+    # the flag cannot be read off the keys. Every released wav2vec2-family
+    # config couples the two: group-norm extractor (base) <=> post-norm
+    # encoder, per-layer-norm extractor (large/XLS-R) <=> pre-norm encoder.
+    stable = layer_norm_mode == "layer"
     defaults = Wav2Vec2Architecture()
-    pos_conv_key = prefix + "encoder.pos_conv_embed.conv.bias"
-    num_pos = defaults.num_conv_pos_embeddings
+    # The positional-conv kernel width and group count are recoverable from the
+    # (weight-normed) conv weight: torch Conv1d weight is
+    # [out, in/groups, kernel_size].
+    pos_prefix = prefix + "encoder.pos_conv_embed.conv"
+    pos_weight = None
+    for suffix in (".parametrizations.weight.original1", ".weight_v", ".weight"):
+        if pos_prefix + suffix in model_state:
+            pos_weight = model_state[pos_prefix + suffix]
+            break
+    if pos_weight is not None:
+        num_pos = int(pos_weight.shape[2])
+        pos_groups = max(1, int(hidden_size) // int(pos_weight.shape[1]))
+    else:
+        num_pos = defaults.num_conv_pos_embeddings
+        pos_groups = defaults.num_conv_pos_embedding_groups
     base = Wav2Vec2Architecture(
         hidden_size=int(hidden_size),
         num_hidden_layers=int(num_layers),
@@ -95,6 +111,7 @@ def infer_wav2vec2_architecture(model_state: Dict[str, np.ndarray]) -> Wav2Vec2A
         feat_extract_norm=layer_norm_mode,
         do_stable_layer_norm=stable,
         num_conv_pos_embeddings=num_pos,
+        num_conv_pos_embedding_groups=pos_groups,
     )
     return base
 

@@ -74,7 +74,10 @@ class EarlyStopping:
 
     @property
     def should_stop(self) -> bool:
-        return self.patience is not None and self.stagnation > self.patience
+        # Stop as soon as stagnation REACHES patience (reference
+        # estimator.py:132 compares ==); `>` would train one extra stagnant
+        # validation window.
+        return self.patience is not None and self.stagnation >= self.patience
 
     def state_dict(self) -> Dict[str, Any]:
         return {"best_loss": self.best_loss, "stagnation": self.stagnation}
@@ -620,7 +623,11 @@ class TrainingRun:
         )
         for batch in batches:
             metrics = self._eval_step(params, other_variables, batch_to_arrays(batch))
-            accumulator.add(jax.tree_util.tree_map(float, metrics))
+            # Stacked transfer (see the training loop): one fetch per batch, not
+            # one per metric scalar.
+            metric_names = list(metrics)
+            values = np.asarray(jnp.stack([metrics[name] for name in metric_names]))
+            accumulator.add({name: float(value) for name, value in zip(metric_names, values)})
         return accumulator
 
     def __iter__(self) -> Iterator[Tuple[TrainingStatus, EpochStatistics]]:
@@ -657,6 +664,11 @@ class TrainingRun:
         maximum_iterations = architecture.maximum_iterations
 
         epoch = int(self._estimator.epoch.epoch or 0)
+        # Mid-epoch resume skips batches only in the epoch the checkpoint was
+        # taken in; the comparison must use a snapshot (epoch.epoch is updated
+        # at the end of every epoch, so comparing against it live would re-skip
+        # the first batches of every later epoch too).
+        resume_epoch = epoch
         stopped = False
         final_status = TrainingStatus.FINISHED
 
@@ -667,7 +679,7 @@ class TrainingRun:
                 window_batches = 0
                 window_utterances = 0
                 last_grad_norm = None
-                skip = self._skip_batches if epoch == int(self._estimator.epoch.epoch or 0) else 0
+                skip = self._skip_batches if epoch == resume_epoch else 0
                 self._epoch_batches = skip
 
                 process_shard = None
@@ -717,7 +729,15 @@ class TrainingRun:
                         jnp.asarray(self.global_step, jnp.int32),
                     )
                     self.global_step += 1
-                    host_metrics = jax.tree_util.tree_map(float, metrics)
+                    # One stacked transfer instead of one blocking float() per
+                    # metric: the dict now carries per-head loss sums (~40
+                    # scalars), and per-leaf fetches pay the full device-link
+                    # latency each on high-latency links.
+                    metric_names = list(metrics)
+                    values = np.asarray(jnp.stack([metrics[name] for name in metric_names]))
+                    host_metrics = {
+                        name: float(value) for name, value in zip(metric_names, values)
+                    }
                     window.add(host_metrics)
                     last_grad_norm = host_metrics.get("grad_norm")
                     window_batches += len(group)
@@ -781,13 +801,13 @@ class TrainingRun:
                         final_status = TrainingStatus.EARLY_STOPPED
                         break
         finally:
+            # Runs on normal completion too (before the yield below), so the
+            # estimator state is synced on every exit path.
             self._profiler.stop()
             self._metrics.close()
             self._sync_back(params)
             self.optimizer_state = opt_state
 
-        self._sync_back(params)
-        self.optimizer_state = opt_state
         yield final_status, EpochStatistics(
             epoch, self.global_step, 0.0, {}, validation_loss=self.early_stopping.best_loss
         )

@@ -224,24 +224,28 @@ def make_train_step(
             has_aux=True,
         )
 
+        head_names = list(loss_plan.ctc_heads) + [name for name, _ in loss_plan.cross_entropy_heads]
+        metric_names = ["loss", "label_count", *head_names]
+
         def accumulate(carry, microbatch_and_rng):
-            grads_acc, loss_acc, length_acc = carry
+            grads_acc, metrics_acc = carry
             microbatch, rng = microbatch_and_rng
             (objective, metrics), grads = grad_fn(params, microbatch, rng)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (
-                grads_acc,
-                loss_acc + metrics["loss"],
-                length_acc + metrics["label_count"],
-            ), objective
+            metrics_acc = {
+                name: metrics_acc[name] + metrics[name].astype(jnp.float32)
+                for name in metric_names
+            }
+            return (grads_acc, metrics_acc), objective
 
         accumulation = jax.tree_util.tree_map(lambda x: x.shape[0], microbatches)
         num_micro = jax.tree_util.tree_leaves(accumulation)[0]
         rngs = jax.random.split(step_rng, num_micro)
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-        (grads, loss_sum, length_sum), objectives = jax.lax.scan(
+        zero_metrics = {name: jnp.zeros((), jnp.float32) for name in metric_names}
+        (grads, summed), objectives = jax.lax.scan(
             accumulate,
-            (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (zero_grads, zero_metrics),
             (microbatches, rngs),
         )
         # Average accumulated gradients over microbatches (each microbatch objective is
@@ -252,11 +256,16 @@ def make_train_step(
 
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        loss_sum = summed["loss"]
+        length_sum = summed["label_count"]
         metrics = {
             "loss_sum": loss_sum,
             "label_count": length_sum,
             "mean_loss": loss_sum / jnp.maximum(length_sum, 1.0),
             "grad_norm": optax.global_norm(grads),
+            # Per-head loss sums feed the reference-style per-classifier
+            # training statistics (EpochStatistics.classifier_losses).
+            **{name: summed[name] for name in head_names},
         }
         return new_params, new_opt_state, metrics
 

@@ -191,3 +191,54 @@ class TestDeviceScorerParity:
                 assert (dev.insertions, dev.deletions, dev.substitutions, dev.correct) == (
                     host.insertions, host.deletions, host.substitutions, host.correct
                 ), (language, name)
+
+
+class TestEmptyReferenceHandling:
+    def test_both_scorers_skip_empty_references(self, tmp_path):
+        """An utterance with an empty reference and non-exact candidates scores
+        +inf for every candidate: the reference warns and skips it
+        (run.py:457-462). Both scorer paths must skip identically — previously
+        the host path crashed (adding None) and the device path silently
+        counted the insertions."""
+        import warnings as warnings_module
+
+        from fixtures import mini_allophoible_csv
+        from allophant_tpu.evaluation_runner import compute_edit_statistics
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+        from allophant_tpu.predictions import (
+            JsonlWriter,
+            PredictionMetaData,
+            PredictionReader,
+            UtterancePrediction,
+        )
+
+        indexer = PhoneticAttributeIndexer(FeatureSet.PHOIBLE, mini_allophoible_csv())
+        meta = PredictionMetaData(
+            "test", "ucla-phonetic", ["spa"], "phoible", indexer.state(), ["phoneme"],
+            label_inventories={"spa": ["a", "t", "n"]},
+        )
+        path = str(tmp_path / "predictions.jsonl")
+        with JsonlWriter(path, meta) as writer:
+            writer.write(
+                UtterancePrediction("spa", "empty", {"phoneme": [["a", "t"]]}, labels=[[]])
+            )
+            writer.write(
+                UtterancePrediction("spa", "real", {"phoneme": [["a", "t"]]}, labels=[["a", "t"]])
+            )
+
+        results = {}
+        for scorer in ("host", "device"):
+            with PredictionReader(path) as reader:
+                with warnings_module.catch_warnings(record=True) as caught:
+                    warnings_module.simplefilter("always")
+                    statistics = compute_edit_statistics(
+                        reader, map_phonemes=False, scorer=scorer
+                    )
+                assert any("empty" in str(warning.message) for warning in caught)
+            results[scorer] = statistics["spa"]["phoneme"]
+
+        # Only the real utterance counts: 2 correct, nothing else.
+        for scorer, stats in results.items():
+            assert stats.correct == 2, scorer
+            assert stats.insertions == 0, scorer
+            assert stats.deletions == 0 and stats.substitutions == 0, scorer

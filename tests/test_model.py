@@ -202,3 +202,21 @@ class TestTransformerModel:
         predictions = built.model.apply(variables, features, lengths, language_ids)
         assert predictions.outputs["phoneme"].shape[1] == 50
         assert np.isfinite(np.asarray(predictions.outputs["phoneme"])).all()
+
+
+class TestDependencyValidation:
+    def test_unknown_dependency_raises(self):
+        """A misspelled dependency must fail at graph-construction time with a
+        clear error, not as an opaque KeyError (previously
+        ``KeyError: 'phonme'`` from the edge-resolution comprehension)."""
+        import pytest
+
+        from allophant_tpu.phonetics.attribute_graph import AttributeGraph, AttributeNode
+
+        with pytest.raises(ValueError, match="phonme"):
+            AttributeGraph(
+                [
+                    AttributeNode("phoneme", 5, dependencies=["OUTPUT"]),
+                    AttributeNode("nasal", 3, dependencies=["phonme"]),  # typo
+                ]
+            )

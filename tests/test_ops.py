@@ -431,3 +431,24 @@ class TestDeviceBeamDecoder:
         decoder = DeviceBeamCTCDecoder(["<blank>", "a", "b"], beam_width=4)
         result = decoder(log_probs, np.array([5]))[0][0]
         assert result.tokens.size == 0
+
+
+class TestDeviceBeamDeadSlots:
+    def test_zero_length_returns_single_live_hypothesis(self):
+        """Dead beam slots (score pinned at -1e30) are padding, not hypotheses:
+        a zero-length utterance has exactly one live beam (the empty prefix),
+        so n_best > 1 must not surface duplicates with sentinel scores."""
+        import jax
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        rng = np.random.default_rng(3)
+        log_probs = np.asarray(
+            jax.nn.log_softmax(rng.standard_normal((2, 8, 5)).astype(np.float32), axis=-1)
+        )
+        decoder = DeviceBeamCTCDecoder([str(i) for i in range(5)], beam_width=4, n_best=3)
+        out = decoder(log_probs, np.array([0, 8]))
+        assert len(out[0]) == 1
+        assert out[0][0].tokens.size == 0
+        assert out[0][0].score == pytest.approx(0.0)
+        for hypothesis in out[1]:
+            assert hypothesis.score > -1e15

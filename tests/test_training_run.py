@@ -118,6 +118,11 @@ class TestTrainingRun:
             assert status in (TrainingStatus.EPOCH, TrainingStatus.IMPROVED)
             assert np.isfinite(stats.train_loss)
             assert stats.validation_loss is not None and np.isfinite(stats.validation_loss)
+            # Per-head training losses are part of the reference's epoch
+            # statistics (estimator.py:170-187) — regression: the train step
+            # previously dropped them, leaving this dict empty.
+            assert stats.classifier_losses
+            assert all(np.isfinite(value) for value in stats.classifier_losses.values())
             assert stats.batch_count > 0
 
         after = estimator.variables["params"]
@@ -240,8 +245,17 @@ class TestEarlyStopping:
         stopper = EarlyStopping(patience=1)
         assert stopper.update(1.0)
         assert not stopper.update(1.5)
+        # patience=1 stops after the FIRST stagnant validation (reference
+        # estimator.py:132 stops when the counter equals patience).
+        assert stopper.should_stop
+        stopper = EarlyStopping(patience=2)
+        assert stopper.update(1.0)
+        assert not stopper.update(1.5)
         assert not stopper.should_stop
-        assert not stopper.update(1.4)
+        assert stopper.update(0.5)  # improvement resets stagnation
+        assert not stopper.should_stop
+        assert not stopper.update(0.6)
+        assert not stopper.update(0.7)
         assert stopper.should_stop
 
     def test_state_roundtrip(self):
