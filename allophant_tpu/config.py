@@ -139,12 +139,14 @@ class Adam:
     def make(self, learning_rate):
         import optax
 
-        # L2 regularization folded in as adamw-style decoupled weight decay when set.
-        if self.l2_regularization:
-            return optax.adamw(
-                learning_rate, b1=self.beta_1, b2=self.beta_2, weight_decay=self.l2_regularization
-            )
-        return optax.adam(learning_rate, b1=self.beta_1, b2=self.beta_2)
+        # torch ``optim.Adam(weight_decay=...)`` (reference config.py:328-329) is
+        # *coupled* L2: the decay term is added to the gradient before the moment
+        # updates — not adamw's decoupled form. ``add_decayed_weights`` before the
+        # adam transform reproduces exactly that.
+        return optax.chain(
+            optax.add_decayed_weights(self.l2_regularization) if self.l2_regularization else optax.identity(),
+            optax.adam(learning_rate, b1=self.beta_1, b2=self.beta_2),
+        )
 
 
 Optimizer = Union[SGD, Adam]

@@ -13,6 +13,7 @@ Counterparts:
 from __future__ import annotations
 
 import math
+import os
 import struct
 import wave
 from typing import Optional, Tuple
@@ -195,17 +196,24 @@ _MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 120
 
 def probe_mp3(path: str) -> Tuple[float, int]:
     """Estimates (duration seconds, sample rate) of an MP3 by frame-header scanning,
-    honoring Xing/Info VBR headers when present."""
+    honoring Xing/Info VBR headers when present. Reads only a bounded prefix — the
+    sync word, Xing/Info tag, and bitrate all live in the first frame, and the CBR
+    fallback needs just the total byte count (corpus-wide length probing must not
+    read whole files)."""
+    file_size = os.path.getsize(path)
     with open(path, "rb") as file:
-        data = file.read()
+        prefix = file.read(10)
+        id3_end = 0
+        if prefix[:3] == b"ID3" and len(prefix) == 10:
+            size = (prefix[6] << 21) | (prefix[7] << 14) | (prefix[8] << 7) | prefix[9]
+            id3_end = 10 + size
+            file.seek(id3_end)
+            data = file.read(1 << 16)
+        else:
+            data = prefix + file.read((1 << 16) - len(prefix))
 
+    # Find first frame sync within the prefix window.
     offset = 0
-    # Skip ID3v2 tag.
-    if data[:3] == b"ID3":
-        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
-        offset = 10 + size
-
-    # Find first frame sync.
     while offset < len(data) - 4:
         if data[offset] == 0xFF and (data[offset + 1] & 0xE0) == 0xE0:
             break
@@ -234,7 +242,7 @@ def probe_mp3(path: str) -> Tuple[float, int]:
     bitrate = table[bitrate_index] * 1000
     if bitrate == 0:
         raise ValueError(f"Cannot estimate duration for free-format MP3 {path!r}")
-    audio_bytes = len(data) - offset
+    audio_bytes = file_size - id3_end - offset
     return audio_bytes * 8 / bitrate, sample_rate
 
 

@@ -111,18 +111,25 @@ class RandomSampler:
 
 
 class MaxFrameBatchSampler:
-    """Packs indices until the *padded* batch volume would exceed the frame budget."""
+    """Packs indices until the *padded* batch volume would exceed the frame budget.
 
-    def __init__(self, sampler, batch_size: int, frame_lengths: np.ndarray) -> None:
+    ``length_multiple`` is the static length bucket ``build_batch`` will round the
+    batch up to; budgeting with the bucketed length (not the raw maximum) keeps the
+    materialized array volume within ``batch_size`` frames."""
+
+    def __init__(
+        self, sampler, batch_size: int, frame_lengths: np.ndarray, length_multiple: int = 1
+    ) -> None:
         self._sampler = sampler
         self._batch_size = batch_size
         self._frame_lengths = np.asarray(frame_lengths)
+        self._length_multiple = max(int(length_multiple), 1)
 
     def __iter__(self) -> Iterator[List[int]]:
         batch_indices: List[int] = []
         max_length = 0
         for index in self._sampler:
-            length = int(self._frame_lengths[index])
+            length = _round_up(int(self._frame_lengths[index]), self._length_multiple)
             if length > max_length:
                 max_length = length
             if (len(batch_indices) + 1) * max_length > self._batch_size and batch_indices:
@@ -204,11 +211,16 @@ def build_batch(
     max_length = max(sample.length for sample in samples)
     padded_length = _round_up(max_length, length_multiple)
     if pad_to_length is not None:
-        if pad_to_length < max_length:
+        # The global target may come from approximate header math (MP3 length
+        # estimates); what must hold is that the *materialized* bucket fits the
+        # longest local sample, not the raw estimate itself.
+        global_padded = _round_up(pad_to_length, length_multiple)
+        if global_padded < max_length:
             raise ValueError(
-                f"Global pad target {pad_to_length} is shorter than a local sample ({max_length})"
+                f"Global pad target {pad_to_length} (bucket {global_padded}) is shorter"
+                f" than a local sample ({max_length})"
             )
-        padded_length = _round_up(pad_to_length, length_multiple)
+        padded_length = global_padded
     feature_shape = samples[0].features.shape[1:] if samples[0].features.ndim > 1 else ()
 
     audio = np.zeros((padded_batch, padded_length, *feature_shape), dtype=np.float32)
@@ -229,15 +241,17 @@ def build_batch(
 
     if batch_type == BatchType.RAW:
         num_engines = len(samples[0].raw_labels or [[]])
+        filler = padded_batch - batch_size
         raw_labels = [
-            [sample.raw_labels[engine] for sample in samples] for engine in range(num_engines)
+            [sample.raw_labels[engine] for sample in samples] + [[]] * filler
+            for engine in range(num_engines)
         ]
         return RawLabeledBatch(
             audio,
             lengths,
             language_ids,
             raw_labels,
-            [sample.utterance_id or "" for sample in samples],
+            [sample.utterance_id or "" for sample in samples] + [""] * filler,
         )
 
     # INDEXED: per-attribute padded label arrays with a shared label-length bucket.
@@ -335,7 +349,7 @@ class Batcher:
             sampler = LanguageOversamplingSampler(
                 corpus, self._language_oversampling_factor, shuffle, rng
             )
-        elif shuffle and self._batching_mode == BatchingMode.FRAMES:
+        elif shuffle:
             sampler = RandomSampler(len(corpus), rng)
         else:
             sampler = SequentialSampler(len(corpus))
@@ -345,7 +359,9 @@ class Batcher:
         else:
             if data_lengths is None:
                 raise ValueError("Frame lengths for each utterance are required for max frame batching")
-            batch_sampler = MaxFrameBatchSampler(sampler, self._batch_size, data_lengths)
+            batch_sampler = MaxFrameBatchSampler(
+                sampler, self._batch_size, data_lengths, self._length_multiple
+            )
 
         index_batches: Iterable[List[int]] = SkipBatchSampler(batch_sampler, skip_batches)
 

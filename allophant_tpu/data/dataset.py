@@ -97,19 +97,22 @@ class PhonemeDataset:
     def _indexed_labels(
         self, language_id: int, segmented_entries: Iterable[List[str]]
     ) -> Dict[str, np.ndarray]:
-        """One concatenated label sequence per attribute, blank offset applied."""
-        filtered = self._filter_with_inventory(language_id, segmented_entries)
-        merged: Dict[str, List[np.ndarray]] = {}
-        for sentence in filtered:
-            named = self._indexer.get_named(
-                self._indexer.phoneme_indices(sentence), self._index_start_offset
+        """Per-attribute label sequence for exactly one transcription, blank offset
+        applied. Indexed (CTC) targets require a single G2P engine — concatenating
+        several engines' transcriptions would silently train on doubled targets;
+        the reference enforces the same via single-element unpacking
+        (reference estimator.py:636)."""
+        entries = list(segmented_entries)
+        if len(entries) != 1:
+            raise ValueError(
+                f"Indexed label generation expects exactly one transcription per"
+                f" utterance, got {len(entries)} (was the corpus transcribed with"
+                " multiple G2P engines?)"
             )
-            for name, values in named.items():
-                merged.setdefault(name, []).append(values)
-        return {
-            name: np.concatenate(values) if values else np.empty(0, dtype=np.int64)
-            for name, values in merged.items()
-        }
+        (filtered,) = self._filter_with_inventory(language_id, entries)
+        return self._indexer.get_named(
+            self._indexer.phoneme_indices(filtered), self._index_start_offset
+        )
 
     def _entry_segments(self, item: IndexedEntry) -> Iterable[List[str]]:
         raise NotImplementedError

@@ -182,11 +182,17 @@ class MultilingualCorpus:
         return LanguageData(entry.info, [utterance.entry for utterance in self._monolingual_islice(entry)])
 
     def subset(self, language_codes: Iterable[str]) -> "MultilingualCorpus":
+        # Limits were already applied when this corpus was built, so the subset
+        # inherits them through the trimmed utterance lists; the audio settings
+        # and metadata must carry over explicitly.
         return MultilingualCorpus(
             self._base_directory,
             (self.monolingual_subset(code) for code in language_codes),
             self._audio_subdirectory,
             self._audio_extension,
+            resample=self._resample,
+            phoneme_sources=self._phoneme_sources,
+            meta_data=self._meta_data,
         )
 
     def shared_inventory(self) -> List[str]:

@@ -52,13 +52,26 @@ class RaggedFeatureWriter:
     def append_length(self, length: int) -> None:
         self._lengths.append(int(length))
 
+    # Chunk size (in float32 elements) for the raw -> .npy copy: 64 MB per chunk
+    # keeps memory flat while finalizing multi-GB language groups.
+    _COPY_CHUNK = 16 * 1024 * 1024
+
     def close(self) -> None:
         self._features_file.close()
         raw_path = path.join(self._directory, "features.npy.raw")
         if self._total:
-            flat = np.memmap(raw_path, dtype=np.float32, mode="r", shape=(self._total,))
-            np.save(path.join(self._directory, "features.npy"), np.asarray(flat))
-            del flat
+            source = np.memmap(raw_path, dtype=np.float32, mode="r", shape=(self._total,))
+            target = np.lib.format.open_memmap(
+                path.join(self._directory, "features.npy"),
+                mode="w+",
+                dtype=np.float32,
+                shape=(self._total,),
+            )
+            for start in range(0, self._total, self._COPY_CHUNK):
+                end = min(start + self._COPY_CHUNK, self._total)
+                target[start:end] = source[start:end]
+            target.flush()
+            del source, target
             np.save(
                 path.join(self._directory, "offsets.npy"), np.asarray(self._offsets, dtype=np.int64)
             )

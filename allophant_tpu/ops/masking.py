@@ -58,9 +58,14 @@ def get_padding(kernel_size: int, stride: int = 1, stft_type: bool = False) -> T
 
 def zero_mean_unit_var_norm(features, lengths, mask):
     """Per-utterance normalization over valid positions only (reference
-    acoustic_model.py:762-767). ``features``: [B, T]; ``mask``: [B, T] bool."""
+    acoustic_model.py:762-767). ``features``: [B, T]; ``mask``: [B, T] bool.
+
+    The denominator is clamped to 1: batch-padding filler rows have length 0,
+    and a 0/0 mean would not just corrupt that row's (masked) forward values —
+    its NaN activations reach *parameter* gradients through the backward matmuls
+    even when the loss masks the row out (NaN · 0 = NaN)."""
     mask = mask.astype(features.dtype)
-    lengths = lengths.astype(features.dtype)
+    lengths = jnp.maximum(lengths, 1).astype(features.dtype)
     means = (features * mask).sum(axis=1, keepdims=True) / lengths[:, None]
     deviations = (features - means) * mask
     variances = (deviations**2).sum(axis=1, keepdims=True) / lengths[:, None]

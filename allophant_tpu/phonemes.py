@@ -139,19 +139,25 @@ class EditStatistics:
 # ---------------------------------------------------------------------------
 
 _LIB = None
+_LOAD_FAILED = False
 NATIVE_AVAILABLE = False
 
 
 def _load_native():
-    global _LIB, NATIVE_AVAILABLE
+    global _LIB, _LOAD_FAILED, NATIVE_AVAILABLE
     if _LIB is not None:
         return _LIB
+    if _LOAD_FAILED:
+        # Memoize failure: without this, every edit-distance call would re-hash
+        # the C++ sources and re-spawn a doomed compile attempt.
+        return None
     try:
         from allophant_tpu.native.build import library_path
 
         lib = ctypes.CDLL(str(library_path()))
     except Exception:
         NATIVE_AVAILABLE = False
+        _LOAD_FAILED = True
         return None
 
     lib.allophant_ac_build.restype = ctypes.c_void_p

@@ -177,13 +177,21 @@ class AttributeGraph:
                     lowlink[parent] = min(lowlink[parent], lowlink[node])
 
     def sort(self) -> Iterator[AttributeNode]:
-        """Reverse-topological node order; raises on dependency cycles."""
+        """Reverse-topological node order; raises on dependency cycles.
+
+        Unlike the reference (attribute_graph.py:196-199), a self-dependency is
+        also rejected: it forms a single-node SCC that Tarjan alone cannot
+        distinguish from an acyclic node, yet classifier construction would read
+        the node's own logits before they exist."""
         for component in self.strongly_connected_components():
             if len(component) > 1:
                 raise DependencyCycleError(
                     "Dependency cycle detected: " + " -> ".join(node.name for node in component)
                 )
-            yield component[0]
+            node = component[0]
+            if self._node_indices[node.name] in self._edges[self._node_indices[node.name]]:
+                raise DependencyCycleError(f"Classifier {node.name!r} depends on itself")
+            yield node
 
     def to_dict(self) -> Dict[str, Any]:
         return {

@@ -115,6 +115,15 @@ class TestUCLACorpus:
         lengths = {code: list(gen) for code, gen in corpus.read_lengths()}
         assert lengths["ita"] == [1600, 1920]
 
+    def test_subset_preserves_audio_settings(self, ucla_dir):
+        corpus = UCLAPhoneticCorpus.load(ucla_dir, resample=16000)
+        subset = corpus.subset(["spa"])
+        assert subset.languages == ["spa"]
+        assert subset.audio_info.sample_rate == 16000
+        assert subset.phoneme_sources == corpus.phoneme_sources
+        _, rate = subset.audio(0)
+        assert rate == 16000
+
     def test_end_to_end_batching(self, ucla_dir):
         corpus = UCLAPhoneticCorpus.load(ucla_dir, resample=16000)
         config = Config.load(mini_config_dict())
@@ -173,6 +182,26 @@ class TestSamplers:
             assert len(batch) * max_length <= 600
         assert sorted(index for batch in batches for index in batch) == list(range(5))
 
+    def test_max_frame_packing_budgets_padded_volume(self):
+        # Each 33-frame utterance materializes as a 64-frame bucket row; the
+        # budget must count the bucketed (actually allocated) volume, so only
+        # two rows fit in 128 frames, not three.
+        lengths = np.array([33, 33, 33])
+        batches = list(MaxFrameBatchSampler(range(3), 128, lengths, length_multiple=64))
+        assert [len(batch) for batch in batches] == [2, 1]
+
+    def test_utterance_mode_shuffles(self, ucla_dir):
+        corpus = UCLAPhoneticCorpus.load(ucla_dir, resample=16000)
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        processor = SamplesProcessor.from_config(config, 16000, indexer)
+        dataset = PhoneticallySegmentedDataset(BatchType.RAW, corpus, processor)
+        batcher = Batcher(4, BatchingMode.UTTERANCES, data_workers=0)
+        [shuffled] = list(batcher.batches(dataset, shuffle=True, seed=0))
+        [sequential] = list(batcher.batches(dataset, shuffle=False))
+        assert sorted(shuffled.utterance_ids) == sorted(sequential.utterance_ids)
+        assert shuffled.utterance_ids != sequential.utterance_ids
+
 
 class TestBuildBatch:
     def test_bucketing(self):
@@ -185,6 +214,41 @@ class TestBuildBatch:
         assert batch.audio_features.shape == (4, 256)  # 250 -> 256; 3 rows -> 4
         np.testing.assert_array_equal(batch.lengths[:3], [100, 250, 30])
         assert batch.lengths[3] == 0  # filler row: zero length -> zero row weight downstream
+
+    def test_global_pad_target_accepts_same_bucket(self):
+        # Multi-host pad targets can come from approximate MP3 header math: a
+        # local sample a few frames past the raw target must still collate as
+        # long as the rounded bucket fits it.
+        samples = [Sample(np.ones(300, dtype=np.float32), 300, 0)]
+        batch = build_batch(samples, BatchType.UNLABELED, length_multiple=128, pad_to_length=299)
+        assert batch.audio_features.shape == (1, 384)
+        with pytest.raises(ValueError):
+            build_batch(samples, BatchType.UNLABELED, length_multiple=128, pad_to_length=128)
+
+    def test_raw_batch_padding_aligns_labels(self):
+        samples = [
+            Sample(np.ones(10, dtype=np.float32), 10, 0, raw_labels=[["a"]], utterance_id="u0"),
+            Sample(np.ones(20, dtype=np.float32), 20, 0, raw_labels=[["b"]], utterance_id="u1"),
+            Sample(np.ones(30, dtype=np.float32), 30, 1, raw_labels=[["c"]], utterance_id="u2"),
+        ]
+        batch = build_batch(
+            samples, BatchType.RAW, length_multiple=16, pad_batch_to_power_of_two=True
+        )
+        # Filler rows get empty labels/ids so per-row zips stay aligned.
+        assert batch.audio_features.shape[0] == 4
+        assert batch.raw_labels == [[["a"], ["b"], ["c"], []]]
+        assert batch.utterance_ids == ["u0", "u1", "u2", ""]
+
+    def test_indexed_labels_reject_multiple_engines(self, ucla_dir):
+        corpus = UCLAPhoneticCorpus.load(ucla_dir, resample=16000)
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        processor = SamplesProcessor.from_config(config, 16000, indexer)
+        dataset = PhoneticallySegmentedDataset(BatchType.INDEXED, corpus, processor)
+        # Two transcriptions (as from a two-engine G2P ensemble) must fail loudly
+        # instead of silently training on doubled CTC targets.
+        with pytest.raises(ValueError, match="exactly one transcription"):
+            dataset._indexed_labels(0, [["a"], ["a"]])
 
 
 class TestStore:
@@ -345,6 +409,17 @@ class TestMp3Codecs:
             for shift in range(0, 2000)
         )
         assert best > 0.99
+
+    def test_probe_mp3_duration(self, codecs, tmp_path):
+        rate = 16_000
+        seconds = 2
+        tone = (0.3 * np.sin(np.linspace(0, 880 * np.pi, rate * seconds))).astype(np.float32)
+        path = str(tmp_path / "probe.mp3")
+        codecs.encode_mp3(path, tone, rate)
+        duration, probed_rate = audio_io.probe_mp3(path)
+        assert probed_rate == rate
+        # Header-based estimate: allow codec delay/frame padding slack.
+        assert abs(duration - seconds) < 0.2
 
     def test_load_audio_dispatches_mp3(self, codecs, tmp_path):
         from allophant_tpu.data.audio import load_audio

@@ -452,3 +452,33 @@ class TestDeviceBeamDeadSlots:
         assert out[0][0].score == pytest.approx(0.0)
         for hypothesis in out[1]:
             assert hypothesis.score > -1e15
+
+
+class TestZeroMeanUnitVarNorm:
+    def test_zero_length_filler_rows_keep_gradients_finite(self):
+        """Batch-padding filler rows (length 0) must not inject NaNs: an
+        unclamped 0/0 mean poisons *parameter* gradients via the backward
+        matmuls even when the loss masks the row out (NaN * 0 = NaN)."""
+        import jax
+        from allophant_tpu.ops import masking
+
+        def loss(weights, audio, lengths):
+            mask = masking.mask_sequence(lengths, audio.shape[1])
+            normed = masking.zero_mean_unit_var_norm(audio, lengths, mask)
+            projected = normed @ weights
+            row_weights = (lengths > 0).astype(audio.dtype)
+            per_row = (projected**2).sum(axis=1)
+            per_row = jnp.where(jnp.isfinite(per_row), per_row, 0.0)
+            return (per_row * row_weights).sum()
+
+        weights = jnp.full((8, 4), 0.5)
+        audio = jnp.arange(16.0).reshape(2, 8)
+        lengths = jnp.array([8, 0])
+        value, gradient = jax.value_and_grad(loss)(weights, audio, lengths)
+        assert bool(jnp.isfinite(value))
+        assert bool(jnp.isfinite(gradient).all())
+        # The real row still normalizes over its true length only.
+        mask = masking.mask_sequence(jnp.array([4, 8]), 8)
+        normed = masking.zero_mean_unit_var_norm(audio, jnp.array([4, 8]), mask)
+        np.testing.assert_allclose(np.asarray(normed[0, :4]).mean(), 0.0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(normed[0, 4:]), 0.0)

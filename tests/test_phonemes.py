@@ -260,3 +260,23 @@ class TestNativePythonEquivalence:
         for _ in range(200):
             text = "".join(rng.choice(list("abc"), size=rng.integers(0, 15)))
             assert segmenter.segment(text) == brute_force(text, symbols), text
+
+
+class TestNativeLoadMemoization:
+    def test_failed_build_not_retried(self, monkeypatch):
+        """A failed native build must be memoized — without the guard every
+        edit-distance call re-hashes the C++ sources and re-spawns a compile."""
+        from allophant_tpu.native import build
+
+        calls = {"count": 0}
+
+        def exploding_library_path():
+            calls["count"] += 1
+            raise RuntimeError("no compiler")
+
+        monkeypatch.setattr(phonemes, "_LIB", None)
+        monkeypatch.setattr(phonemes, "_LOAD_FAILED", False)
+        monkeypatch.setattr(build, "library_path", exploding_library_path)
+        assert phonemes.levensthein("abc", "abd") == 1
+        assert phonemes.levensthein("abc", "bc") == 1
+        assert calls["count"] == 1

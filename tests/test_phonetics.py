@@ -94,6 +94,13 @@ class TestAttributeGraph:
         with pytest.raises(DependencyCycleError):
             list(graph.sort())
 
+    def test_self_dependency_detection(self):
+        # A self-loop is a one-node SCC that plain Tarjan cannot flag, but the
+        # classifier would read its own logits before they exist.
+        graph = AttributeGraph([AttributeNode("a", 1, dependencies=["a"])])
+        with pytest.raises(DependencyCycleError, match="depends on itself"):
+            list(graph.sort())
+
     def test_diamond(self):
         graph = AttributeGraph(
             [
@@ -439,3 +446,40 @@ class TestMacroLanguageResolution:
         pool = pd.DataFrame({"ISO6393": ["arz", "spa"]})
         with pytest.raises(ValueError, match="quc"):
             _resolve_macro_language_variants(pool, {"quc"})
+
+
+class TestOptimizerParity:
+    def test_adam_coupled_l2_matches_torch(self):
+        """torch ``optim.Adam(weight_decay=...)`` applies *coupled* L2 (the decay
+        term joins the gradient before the moment updates, reference
+        config.py:328-329) — not adamw's decoupled form."""
+        import jax.numpy as jnp
+        import optax
+        import torch
+
+        from allophant_tpu.config import Adam
+
+        weight_decay = 0.05
+        lr = 0.01
+        start = np.array([0.7, -1.3, 2.1], dtype=np.float32)
+        grads = [np.array(g, dtype=np.float32) for g in ([0.3, -0.2, 0.05], [0.1, 0.4, -0.6], [-0.25, 0.0, 0.15])]
+
+        torch_param = torch.nn.Parameter(torch.tensor(start))
+        torch_optimizer = torch.optim.Adam(
+            [torch_param], lr=lr, betas=(0.9, 0.98), weight_decay=weight_decay
+        )
+        for gradient in grads:
+            torch_optimizer.zero_grad()
+            torch_param.grad = torch.tensor(gradient)
+            torch_optimizer.step()
+
+        optimizer = Adam(lr, l2_regularization=weight_decay, beta_2=0.98).make(lr)
+        params = jnp.asarray(start)
+        state = optimizer.init(params)
+        for gradient in grads:
+            updates, state = optimizer.update(jnp.asarray(gradient), state, params)
+            params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params), torch_param.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
