@@ -8,6 +8,10 @@ of the full training step takes minutes cold; the persistent compilation
 cache makes reruns near-instant.
 
 Usage: python tools/bench_train_step.py [accumulation] [batch] [seconds]
+       python tools/bench_train_step.py [...] --profile
+With --profile, wraps timed steps in a ``jax.profiler.trace`` window and
+prints the top device ops by total time (parsed from the trace protobuf's
+trace-events JSON), attributing the step to kernels/fusions.
 """
 
 import os
@@ -33,10 +37,53 @@ from allophant_tpu.training.train_step import (
 )
 
 
+def _profile_report(trace_dir: str, steps: int) -> None:
+    """Prints per-op device time from the newest trace.json.gz under trace_dir.
+
+    The device timeline lives in the trace-event pid whose process_name metadata
+    mentions the TPU device; events are aggregated by name across occurrences."""
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    paths = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not paths:
+        print("no trace written (profiler unsupported on this backend?)")
+        return
+    with gzip.open(paths[-1], "rt", encoding="utf-8") as handle:
+        trace = json.load(handle)
+    events = trace.get("traceEvents", [])
+    device_pids = set()
+    for event in events:
+        if event.get("ph") == "M" and event.get("name") == "process_name":
+            name = event.get("args", {}).get("name", "")
+            if "TPU" in name or "device" in name.lower():
+                device_pids.add(event["pid"])
+    totals: dict = defaultdict(float)
+    counts: dict = defaultdict(int)
+    for event in events:
+        if event.get("ph") == "X" and event.get("pid") in device_pids:
+            totals[event["name"]] += event.get("dur", 0.0)
+            counts[event["name"]] += 1
+    grand = sum(totals.values())
+    print(f"device total: {grand / 1e3 / steps:.1f} ms/step over {steps} steps")
+    for name, micros in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
+        print(
+            f"{micros / 1e3 / steps:9.2f} ms/step {100 * micros / grand:5.1f}%"
+            f" x{counts[name] // steps:<4d} {name[:110]}"
+        )
+
+
 def main() -> None:
-    accumulation = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    profile = "--profile" in sys.argv
+    positional = [value for value in sys.argv[1:] if not value.startswith("--")]
+    accumulation = int(positional[0]) if len(positional) > 0 else 2
+    batch = int(positional[1]) if len(positional) > 1 else 8
+    seconds = float(positional[2]) if len(positional) > 2 else 10.0
 
     config, indexer, built = build_flagship(dtype=jnp.bfloat16, remat=True)
     variables = built.init(jax.random.PRNGKey(0), sample_batch_size=1, sample_length=3200)
@@ -75,7 +122,14 @@ def main() -> None:
     print(f"first step (incl. compile): {first:.1f}s", flush=True)
     best = min(run() for _ in range(5))
     audio_seconds = accumulation * batch * seconds
-    print(f"train step: {best * 1e3:.0f} ms ({audio_seconds / best:.0f}x real-time)")
+    print(f"train step: {best * 1e3:.0f} ms ({audio_seconds / best:.0f}x real-time)", flush=True)
+    if profile:
+        trace_dir = "/tmp/allophant_train_trace"
+        profile_steps = 3
+        with jax.profiler.trace(trace_dir):
+            for _ in range(profile_steps):
+                run()
+        _profile_report(trace_dir, profile_steps)
 
 
 if __name__ == "__main__":
