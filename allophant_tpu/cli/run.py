@@ -22,6 +22,9 @@ import numpy as np
 MAIN_LOGGER = logging.getLogger("allophant_tpu")
 
 BEST_CHECKPOINT = "best.ckpt"
+# Written on graceful preemption (SIGTERM/SIGINT during training): the full
+# resumable state at the interrupted step, independent of the best model.
+INTERRUPTED_CHECKPOINT = "interrupted.ckpt"
 
 
 class TrainingLanguageMode(Enum):
@@ -72,6 +75,27 @@ def _checkpoint_name(epoch: int) -> str:
     return f"epoch-{epoch}.ckpt"
 
 
+def _interrupted_checkpoint_path(save_path: str) -> str:
+    """Sibling path the preemption checkpoint is written to: `interrupted.ckpt`
+    inside a --save-all directory, `<file>.interrupted` next to a single file."""
+    if os.path.isdir(save_path):
+        return os.path.join(save_path, INTERRUPTED_CHECKPOINT)
+    return save_path + ".interrupted"
+
+
+def _prefer_interrupted_checkpoint(candidate: str, save_path: str) -> str:
+    """Resumes from the preemption checkpoint when it is the newest state.
+
+    A later regular save (new best model / epoch checkpoint) supersedes an
+    older interrupted file, so the choice is by modification time."""
+    interrupted = _interrupted_checkpoint_path(save_path)
+    if not os.path.exists(interrupted):
+        return candidate
+    if not os.path.exists(candidate):
+        return interrupted
+    return interrupted if os.path.getmtime(interrupted) >= os.path.getmtime(candidate) else candidate
+
+
 def train_network(arguments: Namespace) -> None:
     """Train loop driver: restore-or-build, iterate `Estimator.train`, checkpoint on
     improvement (reference run.py:145-273)."""
@@ -89,6 +113,7 @@ def train_network(arguments: Namespace) -> None:
             if os.path.isdir(restore_path)
             else restore_path
         )
+        candidate = _prefer_interrupted_checkpoint(candidate, restore_path)
         checkpoint = checkpoint_module.load_checkpoint(candidate)
         if arguments.config is not None or arguments.config_json_data is not None:
             # Explicit config on resume overrides the checkpoint's embedded one
@@ -180,33 +205,73 @@ def train_network(arguments: Namespace) -> None:
         skip_batches=skip_batches,
         show_progress=not arguments.no_progress and jax.process_index() == 0,
     )
-    for status, statistics in run:
-        MAIN_LOGGER.info("%s", statistics)
-        if not arguments.no_progress:
-            print(statistics, flush=True)
-        # On multi-host topologies only the first process writes checkpoints
-        # (all processes hold identical replicated state).
-        if arguments.save_path is not None and jax.process_index() == 0 and status not in (
-            TrainingStatus.FINISHED,
-            TrainingStatus.EARLY_STOPPED,
-        ):
-            indexer_state = manager.processor.indexer_state()
-            training_state = run.serialized_training_state()
-            if arguments.save_all:
-                epoch_path = os.path.join(arguments.save_path, _checkpoint_name(statistics.epoch))
-                estimator.save(
-                    epoch_path, optimizer_state=training_state, phonetic_indexer_state=indexer_state
-                )
-                if status == TrainingStatus.IMPROVED:
-                    shutil.copy2(epoch_path, os.path.join(arguments.save_path, BEST_CHECKPOINT))
-            elif status == TrainingStatus.IMPROVED:
-                estimator.save(
-                    arguments.save_path,
-                    optimizer_state=training_state,
-                    phonetic_indexer_state=indexer_state,
-                )
-        if status == TrainingStatus.EARLY_STOPPED and not arguments.no_progress:
-            print("Training stopped early", flush=True)
+
+    # Graceful preemption: SIGTERM/SIGINT ask the loop to stop at the next step
+    # boundary, after which the INTERRUPTED branch below checkpoints the full
+    # resumable state (TPU preemption notices deliver SIGTERM with a grace
+    # window). A second signal restores the default handler, so it kills the
+    # process the usual way if the final step or save hangs.
+    import signal
+
+    original_handlers = {}
+
+    def _graceful_stop(signum, frame):
+        run.request_stop()
+        signal.signal(signum, original_handlers[signum])
+        MAIN_LOGGER.warning(
+            "Received %s: stopping after the in-flight step and checkpointing"
+            " (send again to force exit)",
+            signal.Signals(signum).name,
+        )
+
+    for signum in (signal.SIGTERM, signal.SIGINT):
+        original_handlers[signum] = signal.signal(signum, _graceful_stop)
+    try:
+        for status, statistics in run:
+            MAIN_LOGGER.info("%s", statistics)
+            if not arguments.no_progress:
+                print(statistics, flush=True)
+            # On multi-host topologies only the first process writes checkpoints
+            # (all processes hold identical replicated state).
+            if arguments.save_path is not None and jax.process_index() == 0 and status not in (
+                TrainingStatus.FINISHED,
+                TrainingStatus.EARLY_STOPPED,
+            ):
+                indexer_state = manager.processor.indexer_state()
+                training_state = run.serialized_training_state()
+                if status == TrainingStatus.INTERRUPTED:
+                    interrupted_path = _interrupted_checkpoint_path(arguments.save_path)
+                    estimator.save(
+                        interrupted_path,
+                        optimizer_state=training_state,
+                        phonetic_indexer_state=indexer_state,
+                    )
+                    print(f"Training interrupted; state saved to {interrupted_path}", flush=True)
+                elif arguments.save_all:
+                    epoch_path = os.path.join(
+                        arguments.save_path, _checkpoint_name(statistics.epoch)
+                    )
+                    estimator.save(
+                        epoch_path,
+                        optimizer_state=training_state,
+                        phonetic_indexer_state=indexer_state,
+                    )
+                    if status == TrainingStatus.IMPROVED:
+                        shutil.copy2(epoch_path, os.path.join(arguments.save_path, BEST_CHECKPOINT))
+                elif status == TrainingStatus.IMPROVED:
+                    estimator.save(
+                        arguments.save_path,
+                        optimizer_state=training_state,
+                        phonetic_indexer_state=indexer_state,
+                    )
+            if status == TrainingStatus.EARLY_STOPPED and not arguments.no_progress:
+                print("Training stopped early", flush=True)
+    finally:
+        for signum, handler in original_handlers.items():
+            # Leave the default handler in place if the first signal already
+            # restored it mid-loop.
+            if signal.getsignal(signum) is _graceful_stop:
+                signal.signal(signum, handler)
 
 
 # ---------------------------------------------------------------------------

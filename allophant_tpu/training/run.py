@@ -53,6 +53,12 @@ class TrainingStatus(Enum):
     IMPROVED = "improved"
     EARLY_STOPPED = "early_stopped"
     FINISHED = "finished"
+    # Graceful preemption: `TrainingRun.request_stop` was called (e.g. from a
+    # SIGTERM handler); the loop finished the in-flight step, synced all state
+    # back to the estimator and stopped without running validation. Callers
+    # should checkpoint unconditionally on this status — the run resumes
+    # exactly (optimizer moments, schedule counter, mid-epoch batch position).
+    INTERRUPTED = "interrupted"
 
 
 @dataclasses.dataclass
@@ -567,6 +573,7 @@ class TrainingRun:
         self._profiler = StepProfiler(self._config.profiling)
         self._metrics = MetricsLogger(tensorboard_dir)
         self.optimizer_state = None
+        self._stop_requested = False
         # Serialized optax state from a restored checkpoint: deserialized lazily in
         # __iter__ once the optimizer template exists (reference training resumes
         # Adam moments and the warmup schedule counter, estimator.py:190-194).
@@ -577,6 +584,15 @@ class TrainingRun:
             early_stopping_state = restored.get("early_stopping")
             if early_stopping_state is not None:
                 self.early_stopping.load_state_dict(early_stopping_state)
+
+    def request_stop(self) -> None:
+        """Asks the loop to stop at the next step boundary (async-signal safe:
+        only sets a flag). The generator then yields one final
+        ``(INTERRUPTED, statistics)`` — with every piece of resumable state
+        synced to the estimator — and returns. On multi-host topologies the
+        decision is process 0's, broadcast at each step so every process stops
+        after the same update and collectives never desynchronize."""
+        self._stop_requested = True
 
     def serialized_training_state(self) -> Optional[bytes]:
         """Bundles the live optax state and early-stopping progress for
@@ -763,6 +779,30 @@ class TrainingRun:
                         },
                     )
 
+                    stop_now = self._stop_requested
+                    if self._multi_host:
+                        # All processes must agree on the stop step or their
+                        # collectives desynchronize; preemption signals every
+                        # process, but delivery timing can differ by a step.
+                        # Process 0 decides; the per-step scalar broadcast is
+                        # negligible next to the loop's synchronous metric fetch.
+                        from jax.experimental import multihost_utils
+
+                        stop_now = bool(
+                            multihost_utils.broadcast_one_to_all(
+                                np.asarray(self._stop_requested)
+                            )
+                        )
+                    if stop_now:
+                        progress.close()
+                        status, statistics, _ = self._validation_point(
+                            params, other_variables, opt_state, epoch, window,
+                            window_batches, window_utterances, last_grad_norm,
+                            epoch_started, TrainingStatus.INTERRUPTED, validate=False,
+                        )
+                        yield status, statistics
+                        return
+
                     if step_size is not None and self.global_step % step_size == 0:
                         progress.close()
                         status, statistics, stopped = self._validation_point(
@@ -824,8 +864,11 @@ class TrainingRun:
         last_grad_norm: Optional[float],
         window_started: float,
         base_status: TrainingStatus,
+        validate: bool = True,
     ) -> Tuple[TrainingStatus, EpochStatistics, bool]:
-        validation = self._validate(params, other_variables)
+        # Interrupt points (graceful preemption) sync state without paying for a
+        # validation pass — the preemption grace window may be seconds.
+        validation = self._validate(params, other_variables) if validate else None
         validation_loss = None if validation is None else validation.mean_loss
         improved = validation_loss is not None and self.early_stopping.update(validation_loss)
         if validation_loss is not None:

@@ -1,6 +1,8 @@
 """Training runtime tests: dataset manager, full training loop, early stopping,
 freeze plans and microbatch stacking."""
 
+import os
+import time
 import wave
 
 import numpy as np
@@ -238,6 +240,83 @@ class TestResume:
         total_batches = len(list(manager.training_batches(seed=0)))
         remaining = len(list(manager.training_batches(seed=0, skip_batches=recorded)))
         assert remaining == total_batches - recorded
+
+
+class TestGracefulInterrupt:
+    def test_request_stop_yields_interrupted_and_resumes(self, tiny_corpus, tmp_path):
+        """`request_stop` (the SIGTERM preemption path) stops after the in-flight
+        step, yields INTERRUPTED with every piece of resumable state synced, and
+        a restored run continues optimizer counters from the interrupted step."""
+        _config, manager, estimator = _build_training_setup(tiny_corpus)
+        run = estimator.train(manager)
+        run.request_stop()
+        results = list(run)
+
+        assert [status for status, _ in results] == [TrainingStatus.INTERRUPTED]
+        _status, stats = results[0]
+        # Exactly the in-flight update ran; preemption skips the validation pass.
+        assert stats.global_step == 1
+        assert stats.validation_loss is None
+        assert stats.batch_count > 0
+        # Mid-epoch position and global step synced for --skip-batches resume.
+        assert estimator.epoch.step == stats.batch_count
+        assert estimator.epoch.global_step == 1
+
+        state_bytes = run.serialized_training_state()
+        assert state_bytes is not None
+        saved_counts = _count_leaves(jax.tree_util.tree_map(np.asarray, run.optimizer_state))
+        assert saved_counts and all(count == 1 for count in saved_counts)
+
+        checkpoint_path = str(tmp_path / "interrupted.ckpt")
+        estimator.save(
+            checkpoint_path,
+            optimizer_state=state_bytes,
+            phonetic_indexer_state=manager.processor.indexer_state(),
+        )
+        restored, _indexer = Estimator.restore(checkpoint_path)
+        resumed_run = restored.train(manager, skip_batches=int(restored.epoch.step or 0))
+        resumed_results = list(resumed_run)
+        assert resumed_results[-1][0] == TrainingStatus.FINISHED
+        steps_taken = resumed_run.global_step - run.global_step
+        assert steps_taken > 0
+        new_counts = _count_leaves(
+            jax.tree_util.tree_map(np.asarray, resumed_run.optimizer_state)
+        )
+        # Adam/schedule counters continue from the interrupted step, never reset.
+        assert new_counts == [1 + steps_taken for _ in new_counts]
+
+    def test_interrupted_checkpoint_path_preference(self, tmp_path):
+        """Restore picks the preemption checkpoint only while it is the newest
+        state; a later regular save supersedes it."""
+        from allophant_tpu.cli.run import (
+            _interrupted_checkpoint_path,
+            _prefer_interrupted_checkpoint,
+        )
+
+        single = str(tmp_path / "model.ckpt")
+        assert _interrupted_checkpoint_path(single) == single + ".interrupted"
+        directory = str(tmp_path / "checkpoints")
+        os.makedirs(directory)
+        assert _interrupted_checkpoint_path(directory) == os.path.join(
+            directory, "interrupted.ckpt"
+        )
+
+        best = os.path.join(directory, "best.ckpt")
+        # No interrupted file: the regular candidate wins.
+        assert _prefer_interrupted_checkpoint(best, directory) == best
+        interrupted = os.path.join(directory, "interrupted.ckpt")
+        with open(interrupted, "w", encoding="utf-8"):
+            pass
+        # Interrupted exists, regular candidate missing: resume from interrupted.
+        assert _prefer_interrupted_checkpoint(best, directory) == interrupted
+        with open(best, "w", encoding="utf-8"):
+            pass
+        newer = time.time() + 60
+        os.utime(best, (newer, newer))
+        # A newer regular checkpoint supersedes the stale interrupted file.
+        assert _prefer_interrupted_checkpoint(best, directory) == best
+        os.utime(interrupted, (newer + 60, newer + 60))
+        assert _prefer_interrupted_checkpoint(best, directory) == interrupted
 
 
 class TestEarlyStopping:
