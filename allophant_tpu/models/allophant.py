@@ -60,6 +60,18 @@ class Predictions:
         return len(self.outputs)
 
 
+def needs_intermediate_taps(plan) -> bool:
+    """Whether any classifier consumes an "OUTPUT_<i>" intermediate encoder tap.
+
+    When False (the default config: every head depends on the final "OUTPUT"),
+    the wav2vec2 encoder skips stacking per-layer outputs — the [L, B, T, D]
+    hidden-states buffer (3.2 GB at batch 128 on the flagship) never touches
+    HBM in either the forward or the scan backward."""
+    return any(
+        name != ProjectionEntryConfig.OUTPUT_DEPENDENCY for name in plan.output_dependencies
+    )
+
+
 def highest_specific_output_layer(graph: AttributeGraph) -> Optional[int]:
     """Exclusive index of the highest "OUTPUT_<i>" tap, or None if only the final
     output is used (reference :932-941) — lets us drop unused encoder layers."""
@@ -88,7 +100,11 @@ class AllophantModel(nn.Module):
     def setup(self):
         if isinstance(self.acoustic_config, Wav2Vec2Architecture):
             self.acoustic_model = Wav2Vec2Model(
-                self.acoustic_config, self.dtype, self.remat, self.frozen_prefix
+                self.acoustic_config,
+                self.dtype,
+                self.remat,
+                self.frozen_prefix,
+                collect_all=needs_intermediate_taps(self.plan),
             )
         elif isinstance(self.acoustic_config, TransformerAcousticModelConfig):
             self.acoustic_model = TransformerAcousticModel(

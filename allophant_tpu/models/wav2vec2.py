@@ -369,12 +369,19 @@ class EncoderLayer(nn.Module):
 
 
 class _ScanEncoderLayer(EncoderLayer):
-    """EncoderLayer with a scan-compatible (carry, y) contract."""
+    """EncoderLayer with a scan-compatible (carry, y) contract.
+
+    With ``collect=False`` the per-layer output is not emitted, so the scan
+    never materializes the stacked [L, B, T, D] hidden-states buffer in HBM —
+    used when no classifier taps an intermediate layer (the default config:
+    every head depends on the final "OUTPUT")."""
+
+    collect: bool = True
 
     @nn.compact
     def __call__(self, hidden, pad_mask, deterministic: bool = True):
         hidden = self._forward(hidden, pad_mask, deterministic)
-        return hidden, hidden
+        return hidden, (hidden if self.collect else None)
 
 
 class Wav2Vec2Encoder(nn.Module):
@@ -390,6 +397,9 @@ class Wav2Vec2Encoder(nn.Module):
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # False skips stacking per-layer outputs (returns only the final state);
+    # sound whenever no classifier consumes an "OUTPUT_<i>" intermediate tap.
+    collect_all: bool = True
 
     @nn.compact
     def __call__(self, hidden, pad_mask, deterministic: bool = True) -> List[jnp.ndarray]:
@@ -427,9 +437,17 @@ class Wav2Vec2Encoder(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast),
             length=arch.num_hidden_layers,
         )
-        hidden, stacked = scan_layers(arch, self.dtype, name="layers")(
+        hidden, stacked = scan_layers(arch, self.dtype, self.collect_all, name="layers")(
             hidden, pad_mask, deterministic
         )
+        if not self.collect_all:
+            # Final state only: the scan emitted no ys, so no [L, B, T, D]
+            # buffer ever touches HBM (parameter tree is identical either way).
+            if arch.do_stable_layer_norm:
+                hidden = nn.LayerNorm(
+                    epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm"
+                )(hidden)
+            return [hidden]
         hidden_states = [embedded] + [stacked[index] for index in range(arch.num_hidden_layers)]
         if arch.do_stable_layer_norm:
             hidden = nn.LayerNorm(epsilon=arch.layer_norm_eps, dtype=self.dtype, name="layer_norm")(hidden)
@@ -456,6 +474,9 @@ class Wav2Vec2Model(nn.Module):
     # Must be a *prefix*: stopping gradients at any point also blocks flow-through
     # to everything upstream, which is only sound when upstream is frozen too.
     frozen_prefix: int = 0
+    # See Wav2Vec2Encoder.collect_all: False returns only the final hidden
+    # state, skipping the stacked per-layer buffer.
+    collect_all: bool = True
 
     @nn.compact
     def __call__(self, audio, lengths, deterministic: bool = True):
@@ -498,9 +519,9 @@ class Wav2Vec2Model(nn.Module):
         hidden = FeatureProjection(arch, self.dtype, name="feature_projection")(features, deterministic)
         if self.frozen_prefix >= 2:
             hidden = jax.lax.stop_gradient(hidden)
-        hidden_states = Wav2Vec2Encoder(arch, self.dtype, self.remat, name="encoder")(
-            hidden, pad_mask, deterministic
-        )
+        hidden_states = Wav2Vec2Encoder(
+            arch, self.dtype, self.remat, self.collect_all, name="encoder"
+        )(hidden, pad_mask, deterministic)
         if self.frozen_prefix >= 3:
             hidden_states = [jax.lax.stop_gradient(states) for states in hidden_states]
         if frame_pad:

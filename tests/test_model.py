@@ -63,6 +63,66 @@ def _sample_batch(batch=2, samples=320):
     return jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
 
 
+class TestHiddenStateCollection:
+    def test_final_only_matches_collect_all(self):
+        """collect_all=False returns exactly the final hidden state of the full
+        stack (same parameter tree), never materializing the [L, B, T, D]
+        stacked buffer."""
+        from allophant_tpu.models.wav2vec2 import Wav2Vec2Model
+
+        model_all = Wav2Vec2Model(TINY_W2V)
+        model_final = Wav2Vec2Model(TINY_W2V, collect_all=False)
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(rng.standard_normal((2, 320)).astype(np.float32))
+        lengths = jnp.asarray([320, 260])
+        variables = model_all.init(jax.random.PRNGKey(0), audio, lengths)
+        # Identical parameter trees: the flag only changes scan outputs.
+        final_variables = model_final.init(jax.random.PRNGKey(0), audio, lengths)
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+            final_variables
+        )
+
+        states_all, lengths_all = model_all.apply(variables, audio, lengths)
+        states_final, lengths_final = model_final.apply(variables, audio, lengths)
+        assert len(states_all) == TINY_W2V.num_hidden_layers + 1
+        assert len(states_final) == 1
+        np.testing.assert_array_equal(np.asarray(lengths_all), np.asarray(lengths_final))
+        np.testing.assert_allclose(
+            np.asarray(states_final[-1]), np.asarray(states_all[-1]), rtol=1e-6, atol=1e-6
+        )
+
+    def test_plan_gates_collection(self, table_csv):
+        """Models whose heads only consume the final OUTPUT skip per-layer
+        collection; an OUTPUT_<i> dependency keeps it."""
+        from allophant_tpu.models.allophant import needs_intermediate_taps
+
+        _config, _indexer, built, variables = _build(table_csv, "shared", composition=False)
+        assert not needs_intermediate_taps(built.model.plan)
+
+        config_dict = mini_config_dict(phoneme_layer="shared", embedding_composition=False)
+        config_dict["nn"]["projection"]["classes"][0]["dependencies"] = ["OUTPUT_1"]
+        config = Config.load(config_dict)
+        inventories = LanguageInventories(
+            {0: ["a", "b", "d", "t"], 1: ["a", "t", "s"]}, ["es", "it"]
+        )
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv(), inventories)
+        graph = attribute_graph_from_config(config, indexer)
+        tapped = build_model(
+            config.nn,
+            feature_size=1,
+            sample_rate=16_000,
+            attribute_graph=graph,
+            attribute_indexer=indexer,
+            wav2vec2_architecture=TINY_W2V,
+        )
+        assert needs_intermediate_taps(tapped.model.plan)
+        # The tapped model still runs end to end (collects per-layer states).
+        tapped_variables = tapped.init(jax.random.PRNGKey(0), sample_batch_size=1, sample_length=320)
+        audio, lengths, language_ids = _sample_batch()
+        predictions = tapped.model.apply(tapped_variables, audio, lengths, language_ids)
+        assert np.isfinite(np.asarray(predictions.outputs["phoneme"])).all()
+
+
 class TestSharedModel:
     def test_forward_shapes(self, table_csv):
         config, indexer, built, variables = _build(table_csv, "shared", composition=False)
