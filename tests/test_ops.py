@@ -482,3 +482,53 @@ class TestZeroMeanUnitVarNorm:
         normed = masking.zero_mean_unit_var_norm(audio, jnp.array([4, 8]), mask)
         np.testing.assert_allclose(np.asarray(normed[0, :4]).mean(), 0.0, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(normed[0, 4:]), 0.0)
+
+
+class TestStridedConvMatmul:
+    """ops/strided_conv.py must match the XLA convolution exactly in structure
+    (same taps, same VALID-padding length math) for every feature-extractor
+    layer shape the wav2vec2 conv stack uses."""
+
+    @pytest.mark.parametrize(
+        "kernel_size,stride,length",
+        [(2, 2, 64), (3, 2, 64), (3, 2, 65), (4, 2, 50), (6, 2, 51), (10, 5, 163), (5, 3, 47), (3, 1, 20)],
+    )
+    def test_matches_xla_conv(self, kernel_size, stride, length):
+        import jax
+        from allophant_tpu.ops.strided_conv import strided_conv_matmul
+
+        rng = np.random.default_rng(kernel_size * 100 + stride)
+        c_in, c_out = 6, 5
+        hidden = jnp.asarray(rng.standard_normal((2, length, c_in)), jnp.float32)
+        kernel = jnp.asarray(rng.standard_normal((kernel_size, c_in, c_out)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((c_out,)), jnp.float32)
+
+        expected = jax.lax.conv_general_dilated(
+            hidden,
+            kernel,
+            window_strides=(stride,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + bias
+
+        with jax.default_matmul_precision("highest"):
+            result = strided_conv_matmul(hidden, kernel, bias, stride)
+        assert result.shape == expected.shape
+        np.testing.assert_allclose(np.asarray(result), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+    def test_no_bias_and_short_input(self):
+        import jax
+        from allophant_tpu.ops.strided_conv import strided_conv_matmul
+
+        rng = np.random.default_rng(7)
+        hidden = jnp.asarray(rng.standard_normal((1, 3, 4)), jnp.float32)
+        kernel = jnp.asarray(rng.standard_normal((3, 4, 2)), jnp.float32)
+        expected = jax.lax.conv_general_dilated(
+            hidden, kernel, window_strides=(2,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        with jax.default_matmul_precision("highest"):
+            result = strided_conv_matmul(hidden, kernel, None, 2)
+        np.testing.assert_allclose(np.asarray(result), np.asarray(expected), rtol=1e-5, atol=1e-5)
+        with pytest.raises(ValueError):
+            strided_conv_matmul(hidden[:, :2], kernel, None, 2)
