@@ -242,16 +242,26 @@ def build_flagship(
     config = Config.load(demo_config_dict(phoneme_layer=phoneme_layer))
     language_codes = ["es", "it", "de", "fr", "pt", "ru", "tr", "fi"][:num_languages]
 
-    # Build per-language inventories from the demo table.
-    bootstrap = PhoneticAttributeIndexer("phoible", table)
-    inventories = LanguageInventories(
-        {
-            index: bootstrap.phoneme_inventory(code)
-            for index, code in enumerate(language_codes)
-        },
-        language_codes,
-    )
-    indexer = PhoneticAttributeIndexer.from_config(config, table, inventories)
+    # The synthetic table's singleton feature columns (e.g. "tone", all "-") are
+    # structural to the demo, and the bench/dryrun entry points construct several
+    # indexers — suppress just that category here so real warnings stay visible
+    # in bench/dryrun tails.
+    import warnings
+
+    from allophant_tpu.phonetics.features import SingletonFeatureWarning
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", SingletonFeatureWarning)
+        # Build per-language inventories from the demo table.
+        bootstrap = PhoneticAttributeIndexer("phoible", table)
+        inventories = LanguageInventories(
+            {
+                index: bootstrap.phoneme_inventory(code)
+                for index, code in enumerate(language_codes)
+            },
+            language_codes,
+        )
+        indexer = PhoneticAttributeIndexer.from_config(config, table, inventories)
     graph = attribute_graph_from_config(config, indexer)
     built = build_model(
         config.nn,

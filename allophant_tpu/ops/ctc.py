@@ -22,6 +22,17 @@ from allophant_tpu.ops import masking
 # overflow f32 (~1e30 + 500 * 30 << 3.4e38).
 _LOG_ZERO = -1e30
 
+# Degenerate-input semantics of the two CTC implementations (identical on every
+# input whose labels have nonzero probability, i.e. all real batches — asserted
+# by the multichip dryrun's fused-vs-unfused gate):
+# - labels forced through a hard-masked class (the allophone layer's -1e9 fill;
+#   -FLT_MAX in the reference, acoustic_model.py:75-87): the fused forward
+#   computes the true NLL (~1e9 per masked emission), matching torch;
+#   optax.ctc_loss's internal log_epsilon=-1e5 floor leaks probability mass
+#   through its "impossible" states and caps such rows near 1e5. Real training
+#   labels are in-inventory by construction (never masked), so the paths only
+#   differ on inputs the reference cannot produce either.
+
 
 def ctc_loss_sum(
     logits: jnp.ndarray,
@@ -200,14 +211,14 @@ def ctc_loss_sum_heads(
         label_valid = masking.mask_sequence(label_lengths, labels.shape[1])
         repeats = ((labels[:, 1:] == labels[:, :-1]) & label_valid[:, 1:]).sum(axis=-1)
         infeasible = label_lengths + repeats > logit_lengths
-        # _LOG_ZERO propagation yields huge finite values for infeasible rows;
-        # the exact mask (plus a non-finite guard) zeroes them, like
-        # ``ctc_loss_sum``.
-        per_sequence = jnp.where(
-            infeasible | ~jnp.isfinite(per_sequence) | (per_sequence > 1e29),
-            0.0,
-            per_sequence,
-        )
+        # Same zeroing rule as ``ctc_loss_sum``: the exact infeasibility mask plus
+        # a non-finite guard. _LOG_ZERO (1e30-scale) propagation reaches a row's
+        # final states only when no valid alignment exists — exactly the rows the
+        # mask zeroes — while any feasible row's NLL is bounded by
+        # T * max(-log_prob), which even with -1e9 allophone-masked emissions
+        # stays ~1e13, 17 orders of magnitude below the _LOG_ZERO scale. No
+        # magnitude cutoff is needed to separate the two.
+        per_sequence = jnp.where(infeasible | ~jnp.isfinite(per_sequence), 0.0, per_sequence)
         if row_weights is not None:
             per_sequence = per_sequence * row_weights
         losses[name] = per_sequence.sum()

@@ -8,7 +8,9 @@ well under the ~200+ TFLOP/s the same contraction reaches as a plain matmul
 
 Because the stride divides the sequence into disjoint sample groups, a
 VALID-padding strided conv is exactly a sum of ``ceil(K / stride)`` matmuls
-over a zero-copy reshape:
+over a stride-grouped relayout (a pad-or-slice copy whenever ``rows * stride``
+differs from ``T`` — the common case for these layers, and exactly the
+relayout cost the measured regression below traces back to):
 
     grouped[b, r, :] = concat(x[b, r*s], ..., x[b, r*s + s - 1])    # [B, R, s*C]
     out[b, t] = sum_g grouped[b, t + g, :taps_g * C] @ W_g

@@ -212,6 +212,42 @@ class TestFusedCTC:
     def test_empty(self):
         assert ctc_loss_sum_heads([], jnp.asarray([3])) == {}
 
+    def test_masked_class_label_matches_torch(self):
+        """A label on a hard-masked class (allophone-style -1e9 logits): the fused
+        forward computes the true huge-but-finite NLL like torch's CTCLoss, while
+        optax's internal log_epsilon floor caps such rows near 1e5 (see the
+        degenerate-input note in ops/ctc.py). Real labels are in-inventory by
+        construction, so this regime is torch-parity insurance, not a train path."""
+        import torch
+
+        rng = np.random.default_rng(4)
+        time, classes = 12, 5
+        logits = rng.standard_normal((1, time, classes)).astype(np.float32)
+        logits[:, :, 3] = -1e9
+        labels = np.array([[2, 3, 1]], dtype=np.int64)
+        fused = ctc_loss_sum_heads(
+            [("h", jnp.asarray(logits), jnp.asarray(labels), jnp.asarray([3]))],
+            jnp.asarray([time]),
+        )
+        log_probs = torch.log_softmax(torch.from_numpy(logits).double(), dim=-1)
+        expected = torch.nn.CTCLoss(blank=0, reduction="sum", zero_infinity=True)(
+            log_probs.transpose(0, 1),
+            torch.from_numpy(labels),
+            torch.tensor([time]),
+            torch.tensor([3]),
+        )
+        assert float(fused["h"]) == pytest.approx(float(expected), rel=1e-5)
+        # And the same inputs without the masked label agree with the unfused path.
+        clean = np.array([[2, 1, 2]], dtype=np.int64)
+        fused_clean = ctc_loss_sum_heads(
+            [("h", jnp.asarray(logits), jnp.asarray(clean), jnp.asarray([3]))],
+            jnp.asarray([time]),
+        )
+        unfused_clean = ctc_loss_sum(
+            jnp.asarray(logits), jnp.asarray([time]), jnp.asarray(clean), jnp.asarray([3])
+        )
+        assert float(fused_clean["h"]) == pytest.approx(float(unfused_clean), rel=1e-6)
+
 
 class TestGreedyDecoder:
     def test_collapse_and_blank_removal(self):

@@ -37,45 +37,7 @@ from allophant_tpu.training.train_step import (
 )
 
 
-def _profile_report(trace_dir: str, steps: int) -> None:
-    """Prints per-op device time from the newest trace.json.gz under trace_dir.
-
-    The device timeline lives in the trace-event pid whose process_name metadata
-    mentions the TPU device; events are aggregated by name across occurrences."""
-    import glob
-    import gzip
-    import json
-    from collections import defaultdict
-
-    paths = sorted(
-        glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True),
-        key=os.path.getmtime,
-    )
-    if not paths:
-        print("no trace written (profiler unsupported on this backend?)")
-        return
-    with gzip.open(paths[-1], "rt", encoding="utf-8") as handle:
-        trace = json.load(handle)
-    events = trace.get("traceEvents", [])
-    device_pids = set()
-    for event in events:
-        if event.get("ph") == "M" and event.get("name") == "process_name":
-            name = event.get("args", {}).get("name", "")
-            if "TPU" in name or "device" in name.lower():
-                device_pids.add(event["pid"])
-    totals: dict = defaultdict(float)
-    counts: dict = defaultdict(int)
-    for event in events:
-        if event.get("ph") == "X" and event.get("pid") in device_pids:
-            totals[event["name"]] += event.get("dur", 0.0)
-            counts[event["name"]] += 1
-    grand = sum(totals.values())
-    print(f"device total: {grand / 1e3 / steps:.1f} ms/step over {steps} steps")
-    for name, micros in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
-        print(
-            f"{micros / 1e3 / steps:9.2f} ms/step {100 * micros / grand:5.1f}%"
-            f" x{counts[name] // steps:<4d} {name[:110]}"
-        )
+from allophant_tpu.training.profiling import report_device_ops
 
 
 def main() -> None:
@@ -129,7 +91,7 @@ def main() -> None:
         with jax.profiler.trace(trace_dir):
             for _ in range(profile_steps):
                 run()
-        _profile_report(trace_dir, profile_steps)
+        report_device_ops(trace_dir, profile_steps)
 
 
 if __name__ == "__main__":

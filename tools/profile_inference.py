@@ -25,7 +25,7 @@ import numpy as np
 
 from allophant_tpu.demo import build_flagship
 from allophant_tpu.ops.decode import greedy_decode_logits
-from bench_train_step import _profile_report
+from allophant_tpu.training.profiling import report_device_ops
 
 
 def main() -> None:
@@ -66,7 +66,7 @@ def main() -> None:
     with jax.profiler.trace(trace_dir):
         for _ in range(profile_steps):
             run()
-    _profile_report(trace_dir, profile_steps)
+    report_device_ops(trace_dir, profile_steps)
 
 
 if __name__ == "__main__":
