@@ -176,6 +176,7 @@ def train_network(arguments: Namespace) -> None:
         validation_features,
         train_lengths,
         validation_lengths,
+        data_workers=arguments.data_workers,
     )
     if estimator is None:
         estimator = Estimator.from_config(
@@ -656,7 +657,9 @@ def make_parser() -> ArgumentParser:
     )
     dataset_processing_parser.add_argument(
         "-w", "--data-workers", type=int, default=None,
-        help="Number of data workers (0 disables the prefetch thread)",
+        help="Batch-building worker processes (decode/resample/labels/padding run"
+        " GIL-free, like the reference's DataLoader workers). Default: a single"
+        " prefetch thread; 0 disables prefetching entirely",
     )
     dataset_processing_parser.add_argument(
         "--cpu", action="store_true", help="Forces the JAX CPU backend instead of TPU"

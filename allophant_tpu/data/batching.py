@@ -274,6 +274,32 @@ def build_batch(
     return LabeledBatch(audio, lengths, language_ids, attribute_indices, label_lengths)
 
 
+# Worker-process state for process-pool batch building, set once per worker by
+# ``_pool_worker_init`` (inherited by fork, so the dataset is never pickled —
+# the process-based counterpart of the reference's DataLoader workers,
+# reference batching.py:302-311).
+_POOL_STATE: dict = {}
+
+
+def _pool_worker_init(data, length_multiple, pad_batch, label_multiple) -> None:
+    _POOL_STATE["data"] = data
+    _POOL_STATE["length_multiple"] = length_multiple
+    _POOL_STATE["pad_batch"] = pad_batch
+    _POOL_STATE["label_multiple"] = label_multiple
+
+
+def _pool_build_batch(indices: List[int]) -> Batch:
+    data = _POOL_STATE["data"]
+    samples = [data[index] for index in indices]
+    return build_batch(
+        samples,
+        data.batch_type,
+        _POOL_STATE["length_multiple"],
+        _POOL_STATE["pad_batch"],
+        _POOL_STATE["label_multiple"],
+    )
+
+
 def _prefetch(iterator: Iterator, buffer_size: int = 2) -> Iterator:
     """Runs `iterator` in a daemon thread with a bounded queue (overlaps host-side
     feature extraction with device execution)."""
@@ -315,7 +341,11 @@ class Batcher:
         self._batch_size = batch_size
         self._batching_mode = batching_mode
         self._language_oversampling_factor = language_oversampling_factor
-        self._prefetch = data_workers is None or (data_workers or 0) > 0
+        # None -> single-thread prefetch (overlap only); N >= 1 -> N worker
+        # processes build batches (decode + resample + labels + padding) GIL-free;
+        # 0 -> fully synchronous.
+        self._workers = data_workers
+        self._prefetch = data_workers is None
         self._length_multiple = length_multiple
         self._pad_batch = pad_batch_to_power_of_two
         self._label_multiple = label_multiple
@@ -369,11 +399,42 @@ class Batcher:
             iterator = self._generate_process_slices(
                 data, data_lengths, index_batches, process_shard, shard_multiple
             )
+            if self._prefetch:
+                iterator = _prefetch(iterator)
+        elif self._workers and self._workers > 0:
+            # Decode/resample/label/pad in worker *processes* (GIL-free), the
+            # counterpart of the reference's DataLoader workers.
+            iterator = self._generate_pooled(data, index_batches)
         else:
             iterator = self._generate_full(data, index_batches)
-        if self._prefetch:
-            iterator = _prefetch(iterator)
+            if self._prefetch:
+                iterator = _prefetch(iterator)
         yield from iterator
+
+    def _generate_pooled(self, data: PhonemeDataset, index_batches) -> Iterator[Batch]:
+        """Builds batches in ``self._workers`` forked processes; ``imap`` preserves
+        batch order and keeps every idle worker pulling ahead, so prefetch depth
+        scales with the worker count. The dataset is inherited by fork (never
+        pickled); finished batches cross back as pickled numpy arrays."""
+        import multiprocessing
+        import warnings
+
+        context = multiprocessing.get_context("fork")
+        with warnings.catch_warnings():
+            # JAX warns that fork after backend init can deadlock *if the child
+            # uses JAX*. Pool workers run only numpy/python batch building (audio
+            # decode, labels, padding) and never touch JAX — the same contract as
+            # torch's forked DataLoader workers the reference relies on.
+            warnings.filterwarnings(
+                "ignore", message=".*os.fork.*", category=RuntimeWarning
+            )
+            pool = context.Pool(
+                self._workers,
+                initializer=_pool_worker_init,
+                initargs=(data, self._length_multiple, self._pad_batch, self._label_multiple),
+            )
+        with pool:
+            yield from pool.imap(_pool_build_batch, index_batches)
 
     def _generate_full(self, data: PhonemeDataset, index_batches) -> Iterator[Batch]:
         for indices in index_batches:

@@ -188,6 +188,9 @@ class DatasetManager:
     validation_lengths: Optional[np.ndarray] = None
     length_multiple: int = TRAIN_LENGTH_MULTIPLE
     label_multiple: int = TRAIN_LABEL_MULTIPLE
+    # None -> single prefetch thread; N >= 1 -> N batch-building worker processes
+    # (reference DataLoader workers, batching.py:302-311); 0 -> synchronous.
+    data_workers: Optional[int] = None
 
     @property
     def attribute_indexer(self) -> PhoneticAttributeIndexer:
@@ -216,6 +219,7 @@ class DatasetManager:
             self.split_batch_size,
             architecture.batching_mode,
             architecture.language_oversampling_factor,
+            data_workers=self.data_workers,
             length_multiple=self.length_multiple,
             label_multiple=self.label_multiple,
         )
@@ -243,6 +247,7 @@ class DatasetManager:
         batcher = Batcher(
             self.split_batch_size,
             self.config.nn.batching_mode,
+            data_workers=self.data_workers,
             length_multiple=self.length_multiple,
             label_multiple=self.label_multiple,
         )
@@ -261,6 +266,7 @@ class DatasetManager:
         validation_lengths: Optional[np.ndarray] = None,
         length_multiple: int | None = None,
         label_multiple: int = TRAIN_LABEL_MULTIPLE,
+        data_workers: Optional[int] = None,
     ) -> "DatasetManager":
         processor = SamplesProcessor.from_config(config, sample_rate, attribute_indexer)
 
@@ -304,6 +310,7 @@ class DatasetManager:
             validation_lengths,
             length_multiple,
             label_multiple,
+            data_workers,
         )
 
 

@@ -146,6 +146,42 @@ class TestUCLACorpus:
         language_id, sub = splits[0]
         assert corpus.language(language_id) == "ita"
 
+    def test_process_workers_match_synchronous_batches(self, ucla_dir):
+        """data_workers >= 1 builds batches in forked worker processes; the batch
+        sequence must be identical to the synchronous path (same order, same
+        arrays)."""
+        corpus = UCLAPhoneticCorpus.load(ucla_dir, resample=16000)
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv())
+        processor = SamplesProcessor.from_config(config, 16000, indexer)
+        dataset = PhoneticallySegmentedDataset(
+            BatchType.INDEXED, corpus, processor, index_start_offset=1
+        )
+
+        synchronous = list(
+            Batcher(2, BatchingMode.UTTERANCES, data_workers=0).batches(
+                dataset, shuffle=True, seed=11
+            )
+        )
+        pooled = list(
+            Batcher(2, BatchingMode.UTTERANCES, data_workers=2).batches(
+                dataset, shuffle=True, seed=11
+            )
+        )
+        assert len(pooled) == len(synchronous)
+        for expected, actual in zip(synchronous, pooled):
+            np.testing.assert_array_equal(expected.audio_features, actual.audio_features)
+            np.testing.assert_array_equal(expected.lengths, actual.lengths)
+            np.testing.assert_array_equal(expected.language_ids, actual.language_ids)
+            assert set(expected.attribute_indices) == set(actual.attribute_indices)
+            for name in expected.attribute_indices:
+                np.testing.assert_array_equal(
+                    expected.attribute_indices[name], actual.attribute_indices[name]
+                )
+                np.testing.assert_array_equal(
+                    expected.label_lengths[name], actual.label_lengths[name]
+                )
+
     def test_indexed_batches_have_labels(self, ucla_dir):
         corpus = UCLAPhoneticCorpus.load(ucla_dir, resample=16000)
         config = Config.load(mini_config_dict())

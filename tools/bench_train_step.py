@@ -40,9 +40,53 @@ from allophant_tpu.training.train_step import (
 from allophant_tpu.training.profiling import report_device_ops
 
 
+def _patch_sum_loss() -> None:
+    """Replaces the fused CTC-heads loss inside the train step with a masked sum of
+    squared logits: identical model forward/backward and head count, zero CTC
+    forward scans. The full-step minus sum-loss delta is the cost of the CTC
+    recurrences (forward + their backward scans)."""
+    import allophant_tpu.training.train_step as train_step_module
+
+    def sum_loss_heads(heads, logit_lengths, blank_id=0, row_weights=None):
+        from allophant_tpu.ops import masking
+
+        losses = {}
+        for name, logits, _labels, _label_lengths in heads:
+            mask = masking.mask_sequence(logit_lengths, logits.shape[1])
+            scaled = (logits.astype(jnp.float32) * 1e-3) ** 2
+            per_row = (scaled * mask[:, :, None]).sum(axis=(1, 2))
+            if row_weights is not None:
+                per_row = per_row * row_weights
+            losses[name] = per_row.sum()
+        return losses
+
+    train_step_module.ctc_loss_sum_heads = sum_loss_heads
+
+
 def main() -> None:
+    """Extra decomposition flags (each isolates one suspect of the step time):
+    --sum-loss    replace every CTC head loss with a masked sum of squared logits
+                  (same model forward/backward, no CTC forward scans)
+    --heads N     keep only the first N CTC heads in the loss (scaling with the
+                  number of fused CTC rows)
+    --no-opt      skip optimizer.update/apply_updates (gradients only)
+    """
     profile = "--profile" in sys.argv
-    positional = [value for value in sys.argv[1:] if not value.startswith("--")]
+    sum_loss = "--sum-loss" in sys.argv
+    no_opt = "--no-opt" in sys.argv
+    head_limit = None
+    if "--heads" in sys.argv:
+        head_limit = int(sys.argv[sys.argv.index("--heads") + 1])
+    positional = []
+    skip_next = False
+    for value in sys.argv[1:]:
+        if skip_next:
+            skip_next = False
+            continue
+        if value == "--heads":
+            skip_next = True
+        elif not value.startswith("--"):
+            positional.append(value)
     accumulation = int(positional[0]) if len(positional) > 0 else 2
     batch = int(positional[1]) if len(positional) > 1 else 8
     seconds = float(positional[2]) if len(positional) > 2 else 10.0
@@ -52,7 +96,20 @@ def main() -> None:
     params = variables.pop("params")
     architecture = config.nn
     loss_plan = build_loss_plan(architecture, has_allophone=True)
-    optimizer = create_optimizer(architecture, built.d_model)
+    if head_limit is not None:
+        import dataclasses
+
+        loss_plan = dataclasses.replace(loss_plan, ctc_heads=loss_plan.ctc_heads[:head_limit])
+    if sum_loss:
+        _patch_sum_loss()
+    if no_opt:
+        import optax
+
+        # Measures the step without Adam moments / clipping / schedule: the update
+        # is all-zero (still two tree passes, a lower bound on any optimizer).
+        optimizer = optax.set_to_zero()
+    else:
+        optimizer = create_optimizer(architecture, built.d_model)
     opt_state = optimizer.init(params)
     freeze_plan = build_freeze_plan(architecture.acoustic_model)
     # No donation so `run()` can reuse the same params across timing iterations
