@@ -330,7 +330,14 @@ def predict(arguments: Namespace) -> None:
     if n_candidates > arguments.ctc_beam:
         raise ValueError(f"n_best {n_candidates} larger than the beam size {arguments.ctc_beam}")
 
-    inference_estimator, attribute_indexer = Estimator.restore(arguments.model_path)
+    import jax.numpy as jnp
+
+    inference_estimator, attribute_indexer = Estimator.restore(
+        arguments.model_path,
+        # f32 is the parity default (the reference serves f32); bf16 is the
+        # measured fast path — decision-level bound in README ("decisions" study).
+        dtype=jnp.bfloat16 if arguments.bf16 else jnp.float32,
+    )
     config = inference_estimator.config
 
     is_allophone_model = config.nn.projection.phoneme_layer == PhonemeLayerType.ALLOPHONES
@@ -824,6 +831,12 @@ def make_parser() -> ArgumentParser:
     predict_parser.add_argument(
         "--language-phonemes", action="store_true", default=None,
         help="For allophone models, outputs language-specific phoneme classifiers",
+    )
+    predict_parser.add_argument(
+        "--bf16", action="store_true",
+        help="Serve in bfloat16 (~35%% faster on TPU). Default is float32, the"
+        " reference-parity precision; see README for the measured decision-level"
+        " bf16 bound",
     )
 
     return parser

@@ -226,6 +226,7 @@ def build_flagship(
     phoneme_layer: str = "allophones",
     remat: bool = False,
     num_segments: int | None = None,
+    remat_save_names: tuple | None = None,
 ):
     """Builds the flagship model (XLS-R 300m encoder unless overridden) over the demo
     table. Returns (config, indexer, built_model)."""
@@ -263,6 +264,9 @@ def build_flagship(
         )
         indexer = PhoneticAttributeIndexer.from_config(config, table, inventories)
     graph = attribute_graph_from_config(config, indexer)
+    kwargs = {}
+    if remat_save_names is not None:
+        kwargs["remat_save_names"] = remat_save_names
     built = build_model(
         config.nn,
         feature_size=1,
@@ -272,5 +276,6 @@ def build_flagship(
         wav2vec2_architecture=wav2vec2_architecture,
         dtype=dtype,
         remat=remat,
+        **kwargs,
     )
     return config, indexer, built

@@ -31,6 +31,7 @@ from allophant_tpu.models.projection import (
 )
 from allophant_tpu.models.transformer import TransformerAcousticModel
 from allophant_tpu.models.wav2vec2 import (
+    REMAT_SAVE_NAMES_BASE,
     Wav2Vec2Architecture,
     Wav2Vec2Model,
     matmul_precision_scope,
@@ -93,6 +94,8 @@ class AllophantModel(nn.Module):
     plan: ProjectionPlan
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # Residual set for rematerialized training (see wav2vec2.REMAT_SAVE_NAMES_*).
+    remat_save_names: tuple = REMAT_SAVE_NAMES_BASE
     # Whole-run-frozen prefix of the wav2vec2 chain (see Wav2Vec2Model.frozen_prefix);
     # derived from the freeze flags by build_model, ignored by other acoustic models.
     frozen_prefix: int = 0
@@ -102,8 +105,9 @@ class AllophantModel(nn.Module):
             self.acoustic_model = Wav2Vec2Model(
                 self.acoustic_config,
                 self.dtype,
-                self.remat,
-                self.frozen_prefix,
+                remat=self.remat,
+                remat_save_names=self.remat_save_names,
+                frozen_prefix=self.frozen_prefix,
                 collect_all=needs_intermediate_taps(self.plan),
             )
         elif isinstance(self.acoustic_config, TransformerAcousticModelConfig):
@@ -206,6 +210,7 @@ def build_model(
     wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
     dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
+    remat_save_names: tuple = REMAT_SAVE_NAMES_BASE,
 ) -> BuiltModel:
     """Builds the Allophant model from an architecture config (reference :988-1025).
 
@@ -256,6 +261,7 @@ def build_model(
         plan,
         dtype,
         remat,
+        remat_save_names=remat_save_names,
         frozen_prefix=whole_run_frozen_prefix(layer_config),
     )
     return BuiltModel(model, static_data, d_model, output_size)

@@ -259,6 +259,16 @@ class PositionalConvEmbedding(nn.Module):
         return fast_gelu(embeddings)
 
 
+# Remat residual sets (see Wav2Vec2Encoder): BASE keeps the projection/FFN
+# tiles whose matmuls dominate the recompute FLOPs; EXTENDED additionally keeps
+# the attention out-projection and FFN down-projection outputs ([B, T, D] each,
+# ~400 MB total at batch 8 x 10 s), shrinking the backward recompute to
+# elementwise work only. Which one wins is measured, not assumed:
+# tools/ab_train_step.py times both in one process.
+REMAT_SAVE_NAMES_BASE = ("w2v2_qkv", "w2v2_ffn_hidden", "w2v2_attn_context")
+REMAT_SAVE_NAMES_EXTENDED = REMAT_SAVE_NAMES_BASE + ("w2v2_attn_out", "w2v2_ffn_out")
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention with additive bias, matching HF parameter layout
     (q/k/v/out projections with bias)."""
@@ -313,7 +323,13 @@ class SelfAttention(nn.Module):
         # re-running the attention kernel (it still differentiates through it
         # via the custom_vjp, but the recompute-for-residual-stream run is gone).
         context = jax.ad_checkpoint.checkpoint_name(context, "w2v2_attn_context")
-        return nn.Dense(arch.hidden_size, dtype=self.dtype, name="out_proj")(context)
+        # Output projection saved too ([B, T, D]): with its input (context) and
+        # output both kept, the rematerialized backward runs no attention-block
+        # matmuls at all.
+        return jax.ad_checkpoint.checkpoint_name(
+            nn.Dense(arch.hidden_size, dtype=self.dtype, name="out_proj")(context),
+            "w2v2_attn_out",
+        )
 
 
 class FeedForward(nn.Module):
@@ -329,7 +345,13 @@ class FeedForward(nn.Module):
         hidden = jax.ad_checkpoint.checkpoint_name(hidden, "w2v2_ffn_hidden")
         hidden = fast_gelu(hidden)
         hidden = nn.Dropout(arch.activation_dropout)(hidden, deterministic=deterministic)
-        hidden = nn.Dense(arch.hidden_size, dtype=self.dtype, name="output_dense")(hidden)
+        # Down-projection output saved ([B, T, D]): the backward recompute then
+        # re-runs only elementwise work (GELU/dropout/LN) — every FFN matmul is
+        # served from residuals (pre-GELU tile above, this output here).
+        hidden = jax.ad_checkpoint.checkpoint_name(
+            nn.Dense(arch.hidden_size, dtype=self.dtype, name="output_dense")(hidden),
+            "w2v2_ffn_out",
+        )
         return nn.Dropout(arch.hidden_dropout)(hidden, deterministic=deterministic)
 
 
@@ -401,6 +423,7 @@ class Wav2Vec2Encoder(nn.Module):
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_save_names: tuple = REMAT_SAVE_NAMES_BASE
     # False skips stacking per-layer outputs (returns only the final state);
     # sound whenever no classifier consumes an "OUTPUT_<i>" intermediate tap.
     collect_all: bool = True
@@ -428,7 +451,7 @@ class Wav2Vec2Encoder(nn.Module):
                 _ScanEncoderLayer,
                 static_argnums=(3,),
                 policy=jax.checkpoint_policies.save_only_these_names(
-                    "w2v2_qkv", "w2v2_ffn_hidden", "w2v2_attn_context"
+                    *self.remat_save_names
                 ),
             )
             if self.remat
@@ -469,6 +492,7 @@ class Wav2Vec2Model(nn.Module):
     architecture: Wav2Vec2Architecture
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_save_names: tuple = REMAT_SAVE_NAMES_BASE
     # Longest prefix of (feature_extractor, feature_projection, encoder) whose
     # parameters stay frozen for the entire run: 0 = none, 1 = extractor,
     # 2 = +projection, 3 = +encoder. Gradients into such a prefix are
@@ -524,7 +548,12 @@ class Wav2Vec2Model(nn.Module):
         if self.frozen_prefix >= 2:
             hidden = jax.lax.stop_gradient(hidden)
         hidden_states = Wav2Vec2Encoder(
-            arch, self.dtype, self.remat, self.collect_all, name="encoder"
+            arch,
+            self.dtype,
+            remat=self.remat,
+            remat_save_names=self.remat_save_names,
+            collect_all=self.collect_all,
+            name="encoder",
         )(hidden, pad_mask, deterministic)
         if self.frozen_prefix >= 3:
             hidden_states = [jax.lax.stop_gradient(states) for states in hidden_states]

@@ -131,10 +131,14 @@ def _ctc_forward_fused(
         # Padded frames are identity steps, matching optax's logit_paddings.
         return jnp.where(valid_t[:, None], updated, alpha), None
 
+    # unroll: each fused step is a handful of small VPU ops on [R, S] tiles, so
+    # the T-step recurrence is loop-overhead-bound; unrolling amortizes it
+    # (applies to the autodiff backward scan too).
     final, _ = jax.lax.scan(
         step,
         initial,
         (jnp.swapaxes(state_lp, 0, 1), jnp.swapaxes(frame_valid, 0, 1)),
+        unroll=4,
     )
 
     row_index = jnp.arange(rows)

@@ -64,6 +64,69 @@ def main() -> None:
             all_counts.append(counts)
         return jnp.stack(all_tokens), jnp.stack(all_counts)
 
+    BEAM_WIDTH = 4
+    N_BEST = 4
+
+    @jax.jit
+    def transcribe_beam(variables, audio, lengths, language_ids):
+        """Beam-mode serving (the predict CLI's ``-b/--ctc-beam`` surface): the
+        phoneme track through the device prefix beam search (n-best), attribute
+        tracks greedy — the configuration used to measure PER with beam decoding.
+        Scoring runs on device; prefix reconstruction is a vectorized host
+        backtrace over int32 arrays (see ``backtrace_beams``)."""
+        from allophant_tpu.ops.decode import beam_search_padded
+
+        predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
+        attribute_tokens = []
+        attribute_counts = []
+        for name in sorted(predictions.outputs):
+            if name == "phoneme":
+                continue
+            tokens, _ts, counts, _s = greedy_decode_logits(
+                predictions.outputs[name], predictions.lengths
+            )
+            attribute_tokens.append(tokens)
+            attribute_counts.append(counts)
+        log_probs = jax.nn.log_softmax(
+            predictions.outputs["phoneme"].astype(jnp.float32), axis=-1
+        )
+        parents, emitted, scores = beam_search_padded(
+            log_probs, predictions.lengths, beam_width=BEAM_WIDTH
+        )
+        return (
+            jnp.stack(attribute_tokens),
+            jnp.stack(attribute_counts),
+            parents,
+            emitted,
+            scores,
+            predictions.lengths,
+        )
+
+    def backtrace_beams(parents, emitted, scores, frame_lengths):
+        """Vectorized n-best prefix reconstruction: one backward pass over time on
+        [B, K] int arrays (no per-utterance Python loops). Returns per row the
+        n-best (tokens list, score) ordered best-first."""
+        time_steps, batch_rows, k_beams = emitted.shape
+        rows = np.arange(batch_rows)[:, None]
+        cursor = np.tile(np.arange(k_beams, dtype=np.int64)[None, :], (batch_rows, 1))
+        collected = np.full((time_steps, batch_rows, k_beams), -1, np.int64)
+        for t in range(time_steps - 1, -1, -1):
+            valid = t < frame_lengths[:, None]
+            token = emitted[t, rows, cursor]
+            collected[t] = np.where(valid, token, -1)
+            cursor = np.where(valid, parents[t, rows, cursor], cursor)
+        order = np.argsort(-scores, axis=1)[:, :N_BEST]
+        results = []
+        for row in range(batch_rows):
+            n_best = []
+            for beam in order[row]:
+                sequence = collected[:, row, beam]
+                n_best.append(
+                    (sequence[sequence >= 0].tolist(), float(scores[row, beam]))
+                )
+            results.append(n_best)
+        return results
+
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32))
     lengths = jnp.full((batch,), samples, dtype=jnp.int32)
@@ -143,6 +206,44 @@ def main() -> None:
                     sink.write("\n")
         return (time.perf_counter() - start) / num_batches
 
+    def run_beam(num_batches: int) -> float:
+        """Beam-mode all-tracks serving: device compute dispatched back-to-back,
+        then per batch the attribute drains + phoneme n-best backtrace + JSONL."""
+        attribute_names = [name for name in head_names if name != "phoneme"]
+        start = time.perf_counter()
+        results = [
+            transcribe_beam(variables, audio, lengths, language_ids)
+            for _ in range(num_batches)
+        ]
+        with open(os.devnull, "w", encoding="utf-8") as sink:
+            for attr_tokens, attr_counts, parents, emitted, scores, frame_lengths in results:
+                attr_tokens = np.asarray(attr_tokens)
+                attr_counts = np.asarray(attr_counts)
+                n_best = backtrace_beams(
+                    np.asarray(parents), np.asarray(emitted), np.asarray(scores),
+                    np.asarray(frame_lengths),
+                )
+                for row in range(batch):
+                    record = {
+                        "language": "es",
+                        "utterance_id": str(row),
+                        "predictions": {
+                            name: [
+                                value_tables[name][
+                                    attr_tokens[head, row, : attr_counts[head, row]]
+                                ].tolist()
+                            ]
+                            for head, name in enumerate(attribute_names)
+                        },
+                    }
+                    record["predictions"]["phoneme"] = [
+                        value_tables["phoneme"][tokens].tolist()
+                        for tokens, _score in n_best[row]
+                    ]
+                    sink.write(json.dumps(record, ensure_ascii=False))
+                    sink.write("\n")
+        return (time.perf_counter() - start) / num_batches
+
     run_pipelined(1)  # warmup/compile
     elapsed = min(run_pipelined(4) for _ in range(4))
     rtf = batch * seconds / elapsed
@@ -163,6 +264,15 @@ def main() -> None:
             all_heads_jsonl_rtf=round(rtf_all, 2),
             all_heads_vs_baseline=round(rtf_all / BASELINE_RTF, 3),
             num_heads=len(head_names),
+        )
+        transcribe_beam(variables, audio, lengths, language_ids)  # warmup/compile
+        elapsed_beam = min(run_beam(4) for _ in range(3))
+        rtf_beam = batch * seconds / elapsed_beam
+        result.update(
+            beam_jsonl_rtf=round(rtf_beam, 2),
+            beam_vs_baseline=round(rtf_beam / BASELINE_RTF, 3),
+            beam_width=BEAM_WIDTH,
+            n_best=N_BEST,
         )
     print(json.dumps(result))
 

@@ -131,6 +131,23 @@ class TestPredictEvaluateRoundTrip:
         report = capsys.readouterr().out
         assert "Average" in report
 
+    def test_predict_bf16_serving_path(self, ucla_dir, saved_checkpoint, tmp_path):
+        """--bf16 restores the model in bfloat16 (the opt-in fast serving path;
+        f32 is the parity default) and produces well-formed predictions."""
+        predictions_path = str(tmp_path / "predictions_bf16.jsonl")
+        run_cli.main(
+            [
+                "predict", ucla_dir, saved_checkpoint, "--cpu", "--no-progress",
+                "-t", "ucla-phonetic", "-m", "utterances", "-s", "2", "--bf16",
+                "-o", predictions_path,
+            ]
+        )
+        with open(predictions_path, "r", encoding="utf-8") as file:
+            lines = file.readlines()
+        assert len(lines) == 5
+        prediction = json.loads(lines[1])
+        assert "phoneme" in prediction["predictions"]
+
 
 class TestDataCli:
     def test_stats_requires_common_voice(self, ucla_dir, capsys):

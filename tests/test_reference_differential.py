@@ -656,6 +656,117 @@ def test_remove_zero_phoneme_semantics():
     assert "∅" not in joined
 
 
+def _duck_config(feature_set, phoneme_layer, classes):
+    """Minimal object graph both ``from_config`` implementations read:
+    ``config.nn.projection.{classes[].name,.dependencies, feature_set, phoneme_layer}``."""
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        nn=SimpleNamespace(
+            projection=SimpleNamespace(
+                classes=[
+                    SimpleNamespace(name=name, dependencies=list(dependencies))
+                    for name, dependencies in classes
+                ],
+                feature_set=feature_set,
+                phoneme_layer=phoneme_layer,
+            )
+        )
+    )
+
+
+@pytest.mark.parametrize("allophone_layer", [False, True])
+def test_from_config_and_state_roundtrip_match_reference(ref, allophone_layer):
+    """The checkpoint-critical construction path: classifier subset derivation from
+    the projection config (OUTPUT/OUTPUT_i filtering, insertion order), language
+    inventories -> allophone mappings, and state() -> from_config(state_dict=...)
+    round-trips (reference phonetic_features.py:727-786)."""
+    import sys
+
+    import allophant_tpu.config as my_config
+
+    rng = np.random.default_rng(31)
+    csv = frame_csv(random_phoible_frame(rng, languages=["spa", "ita"]))
+    classes = [
+        ("syllabic", ["OUTPUT"]),
+        ("nasal", ["OUTPUT_3"]),
+        ("high", ["syllabic", "OUTPUT"]),
+        ("phoneme", ["nasal", "high"]),
+    ]
+    ref_config_module = sys.modules["allophant.config"]
+    layer_name = "ALLOPHONES" if allophone_layer else "SHARED"
+    ref_config = _duck_config(
+        ref_config_module.FeatureSet.PHOIBLE,
+        getattr(ref_config_module.PhonemeLayerType, layer_name),
+        classes,
+    )
+    our_config = _duck_config(
+        ours.FeatureSet.PHOIBLE, getattr(my_config.PhonemeLayerType, layer_name), classes
+    )
+
+    # Language inventories from a bootstrap indexer (each side builds its own).
+    ref_bootstrap, our_bootstrap = build_pair(ref, csv)
+    languages = ["spa", "ita"]
+    ref_inventories = ref.LanguageInventories(
+        {index: ref_bootstrap.phoneme_inventory(code) for index, code in enumerate(languages)},
+        languages,
+    )
+    our_inventories = ours.LanguageInventories(
+        {index: our_bootstrap.phoneme_inventory(code) for index, code in enumerate(languages)},
+        languages,
+    )
+
+    ref_indexer = ref.PhoneticAttributeIndexer.from_config(
+        ref_config, StringIO(csv), ref_inventories
+    )
+    our_indexer = ours.PhoneticAttributeIndexer.from_config(
+        our_config, StringIO(csv), our_inventories
+    )
+    assert ref_indexer.phonemes.tolist() == our_indexer.phonemes.tolist()
+    assert ref_indexer.feature_names == our_indexer.feature_names
+    assert ref_indexer.composition_features == our_indexer.composition_features
+    assert_attributes_equal(ref_indexer.attributes, our_indexer.attributes)
+    assert (ref_indexer.language_allophones is None) == (our_indexer.language_allophones is None)
+    if our_indexer.language_allophones is not None:
+        # The reference's own mappings are empty HERE due to a pandas-3 artifact in
+        # its remap plumbing (groupby.apply no longer includes the ISO6393 group
+        # column, so `_filter_inventory`'s output loses it and
+        # `from_allophone_data` matches no rows) — not a semantic difference. Pin
+        # the mapping-construction semantics instead by executing the reference's
+        # ``LanguageAllophoneMappings.from_allophone_data`` (phonetic_features.py:
+        # 64-84) against OUR correctly-built allophone data; the APIs it touches
+        # (allophone_data, phoneme_index, phoneme_indices) are contract-identical.
+        if allophone_layer:
+            ref_mappings = ref.LanguageAllophoneMappings.from_allophone_data(our_indexer, languages)
+        else:
+            # SHARED layer: the reference derives identity mappings from the
+            # inventories (phonetic_features.py:100-108) rather than Allophoible.
+            ref_mappings = ref_inventories.map_allophones(our_indexer)
+        assert ref_mappings.languages == our_indexer.language_allophones.languages
+        assert list(ref_mappings.shared_phones) == list(
+            our_indexer.language_allophones.shared_phones
+        )
+        assert {
+            language: {phoneme: list(map(int, phones)) for phoneme, phones in mapping.items()}
+            for language, mapping in ref_mappings.allophones.items()
+        } == {
+            language: {phoneme: list(map(int, phones)) for phoneme, phones in mapping.items()}
+            for language, mapping in our_indexer.language_allophones.allophones.items()
+        }
+        assert all(mapping for mapping in our_indexer.language_allophones.allophones.values())
+
+    # state() -> from_config(state_dict) round-trip on both sides.
+    ref_state = ref_indexer.state()
+    our_state = our_indexer.state()
+    assert list(ref_state.phoneme_inventory) == list(our_state.phoneme_inventory)
+    ref_rebuilt = ref.PhoneticAttributeIndexer.from_config(ref_config, state_dict=ref_state)
+    our_rebuilt = ours.PhoneticAttributeIndexer.from_config(our_config, state_dict=our_state)
+    assert ref_rebuilt.phonemes.tolist() == our_rebuilt.phonemes.tolist()
+    assert ref_rebuilt.phonemes.tolist() == ref_indexer.phonemes.tolist()
+    assert_attributes_equal(ref_rebuilt.attributes, our_rebuilt.attributes)
+    assert_attributes_equal(ref_rebuilt.full_subset_attributes, our_rebuilt.full_subset_attributes)
+
+
 # ---------------------------------------------------------------------------
 # generate_allophone_data and segmentation
 # ---------------------------------------------------------------------------

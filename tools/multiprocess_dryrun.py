@@ -9,9 +9,17 @@ the global (data, model) mesh. The parent also runs the identical setup
 single-process and asserts loss/grad-norm equality (the multi-host path must be
 semantically invisible).
 
+Beyond the train step, each process also runs the inference path (a forward
+``Estimator.predict`` over one deterministic batch) and the comparison includes
+its per-head log-prob checksum, so sharded predict/eval wiring is gated too.
+
 Usage:
-    python tools/multiprocess_dryrun.py               # parent: spawn + compare
+    python tools/multiprocess_dryrun.py [nprocs] [ndev]   # parent: spawn + compare
     python tools/multiprocess_dryrun.py worker <pid> <nprocs> <ndev> <port> <dir> <out>
+
+The full gate is 2x4 (the pod shape the round-2 validation used); the test suite
+runs the reduced 2x2 variant (tests/test_multiprocess_dryrun.py) so multi-host
+wiring cannot rot unnoticed.
 """
 
 from __future__ import annotations
@@ -92,10 +100,26 @@ def run_training(corpus_dir: str) -> dict:
     )
     results = list(estimator.train(manager))
     first = results[0][1]
+
+    # Inference-path coverage: a deterministic predict over one small batch; the
+    # per-head log-prob checksum must agree across workers and the baseline.
+    import numpy as np
+
+    from allophant_tpu.data.batch import Batch
+
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal((2, 1600)).astype(np.float32)
+    predictions = estimator.predict(
+        Batch(audio, np.array([1600, 1280], dtype=np.int32), np.array([0, 1], dtype=np.int32))
+    )
+    checksum = float(
+        sum(np.asarray(value, np.float64).sum() for value in predictions.outputs.values())
+    )
     return {
         "train_loss": first.train_loss,
         "validation_loss": first.validation_loss,
         "gradient_norm": first.gradient_norm,
+        "predict_checksum": checksum,
         "global_step": first.global_step,
     }
 
@@ -117,7 +141,7 @@ def worker(process_id: int, num_processes: int, num_devices: int, port: int, cor
         json.dump(metrics, file)
 
 
-def parent() -> int:
+def parent(num_processes: int = NUM_PROCESSES, devices_per_process: int = DEVICES_PER_PROCESS) -> int:
     script = os.path.abspath(__file__)
     repo = os.path.dirname(os.path.dirname(script))
     with tempfile.TemporaryDirectory() as scratch:
@@ -131,16 +155,16 @@ def parent() -> int:
             "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
             "JAX_PLATFORMS": "cpu",
         }
-        outputs = [os.path.join(scratch, f"metrics_{pid}.json") for pid in range(NUM_PROCESSES)]
+        outputs = [os.path.join(scratch, f"metrics_{pid}.json") for pid in range(num_processes)]
         processes = [
             subprocess.Popen(
                 [
-                    sys.executable, script, "worker", str(pid), str(NUM_PROCESSES),
-                    str(DEVICES_PER_PROCESS), str(port), corpus_dir, outputs[pid],
+                    sys.executable, script, "worker", str(pid), str(num_processes),
+                    str(devices_per_process), str(port), corpus_dir, outputs[pid],
                 ],
                 env=environment,
             )
-            for pid in range(NUM_PROCESSES)
+            for pid in range(num_processes)
         ]
         codes = [process.wait(timeout=1800) for process in processes]
         if any(codes):
@@ -151,15 +175,15 @@ def parent() -> int:
             with open(path, "r", encoding="utf-8") as file:
                 results.append(json.load(file))
 
-        # Single-process baseline in this process (8 virtual devices, same math).
+        # Single-process baseline in this process (same global device count, same math).
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", NUM_PROCESSES * DEVICES_PER_PROCESS)
+        jax.config.update("jax_num_cpu_devices", num_processes * devices_per_process)
         baseline = run_training(corpus_dir)
 
         ok = True
-        for key in ("train_loss", "validation_loss", "gradient_norm"):
+        for key in ("train_loss", "validation_loss", "gradient_norm", "predict_checksum"):
             values = [result[key] for result in results] + [baseline[key]]
             if not np.allclose(values, values[0], rtol=2e-4, atol=1e-5):
                 print(f"MISMATCH {key}: workers={values[:-1]} baseline={values[-1]}")
@@ -167,8 +191,9 @@ def parent() -> int:
         if ok:
             print(
                 "dryrun_multiprocess OK: "
-                f"{NUM_PROCESSES} processes x {DEVICES_PER_PROCESS} devices, "
+                f"{num_processes} processes x {devices_per_process} devices, "
                 f"loss={baseline['train_loss']:.6f} grad_norm={baseline['gradient_norm']:.6f} "
+                f"predict_checksum={baseline['predict_checksum']:.6f} "
                 f"(workers match single-process run)"
             )
         return 0 if ok else 1
@@ -181,7 +206,9 @@ def main() -> int:
             sys.argv[6], sys.argv[7],
         )
         return 0
-    return parent()
+    num_processes = int(sys.argv[1]) if len(sys.argv) > 1 else NUM_PROCESSES
+    devices_per_process = int(sys.argv[2]) if len(sys.argv) > 2 else DEVICES_PER_PROCESS
+    return parent(num_processes, devices_per_process)
 
 
 if __name__ == "__main__":

@@ -198,6 +198,92 @@ def check_fullsize(seconds: float = 2.0, tolerance: float = 5e-3) -> int:
     return status
 
 
+def check_decisions(seconds: float = 10.0, batch: int = 8, seed: int = 0) -> int:
+    """Decision-level bf16 serving-parity study (VERDICT r2 item 3).
+
+    Activation drift (``fullsize``) bounds numeric error; what predicts PER
+    slippage is whether greedy *decisions* flip. This runs the full flagship
+    (XLS-R-300m-sized encoder, all 37 heads, allophone layer) with one shared set
+    of random f32 weights through the f32 and bf16 compute paths and reports, per
+    head and aggregate: the frame-argmax flip rate and the token-level edit rate
+    of the bf16 greedy CTC decode measured against the f32 decode (a synthetic
+    PER delta). Random weights are the pessimistic case — their near-uniform
+    logits sit close to argmax ties (trained logits are far more separated), so
+    real serving flip rates are bounded above by these numbers. Reference
+    inference is f32 (acoustic_model.py:1027-1052 has no half path); serving bf16
+    is this framework's deliberate deviation, and this is its bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from allophant_tpu.demo import build_flagship
+    from allophant_tpu.phonemes import levensthein
+
+    config, indexer, built32 = build_flagship(dtype=jnp.float32)
+    _config16, _indexer16, built16 = build_flagship(dtype=jnp.bfloat16)
+    variables = built32.init(jax.random.PRNGKey(seed), sample_batch_size=1, sample_length=3200)
+
+    rng = np.random.default_rng(seed)
+    samples = int(16_000 * seconds)
+    audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32))
+    lengths = jnp.asarray(np.full(batch, samples, np.int32))
+    language_ids = jnp.asarray((np.arange(batch) % 4).astype(np.int32))
+
+    def forward(built):
+        predictions = jax.jit(
+            lambda v, a, l, i: built.model.apply(v, a, l, i, predict=True, deterministic=True)
+        )(variables, audio, lengths, language_ids)
+        outputs = {name: np.asarray(value, np.float32) for name, value in predictions.outputs.items()}
+        return outputs, np.asarray(predictions.lengths)
+
+    outputs32, frame_lengths = forward(built32)
+    outputs16, _ = forward(built16)
+
+    def greedy_tokens(logits_row, length) -> list:
+        ids = logits_row[:length].argmax(axis=-1)
+        collapsed = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
+        return [int(token) for token in collapsed if token != 0]
+
+    total_frames = 0
+    total_flips = 0
+    total_edits = 0
+    total_reference_tokens = 0
+    worst = (0.0, "")
+    for name in sorted(outputs32):
+        head32, head16 = outputs32[name], outputs16[name]
+        flips = 0
+        frames = 0
+        edits = 0
+        reference_tokens = 0
+        for row in range(batch):
+            length = int(frame_lengths[row])
+            argmax32 = head32[row, :length].argmax(axis=-1)
+            argmax16 = head16[row, :length].argmax(axis=-1)
+            flips += int((argmax32 != argmax16).sum())
+            frames += length
+            tokens32 = greedy_tokens(head32[row], length)
+            tokens16 = greedy_tokens(head16[row], length)
+            edits += levensthein(tokens32, tokens16)
+            reference_tokens += max(len(tokens32), 1)
+        flip_rate = flips / max(frames, 1)
+        edit_rate = edits / max(reference_tokens, 1)
+        if flip_rate > worst[0]:
+            worst = (flip_rate, name)
+        total_frames += frames
+        total_flips += flips
+        total_edits += edits
+        total_reference_tokens += reference_tokens
+        print(f"[{name:>24s}] argmax flip {100 * flip_rate:6.3f}%  token edit rate {100 * edit_rate:6.3f}%")
+
+    print(
+        f"aggregate over {len(outputs32)} heads, {batch} x {seconds:.0f}s: "
+        f"argmax flip rate {100 * total_flips / max(total_frames, 1):.3f}%, "
+        f"synthetic PER delta (bf16 vs f32 decode) "
+        f"{100 * total_edits / max(total_reference_tokens, 1):.3f}%, "
+        f"worst head {worst[1]} at {100 * worst[0]:.3f}%"
+    )
+    return 0
+
+
 def check_checkpoint(path: str) -> int:
     import jax
 
@@ -268,6 +354,11 @@ def main(argv=None) -> int:
     checkpoint = commands.add_parser("checkpoint")
     checkpoint.add_argument("path")
 
+    decisions = commands.add_parser("decisions")
+    decisions.add_argument("--seconds", type=float, default=10.0)
+    decisions.add_argument("--batch", type=int, default=8)
+    decisions.add_argument("--seed", type=int, default=0)
+
     rates = commands.add_parser("error-rates")
     rates.add_argument("predictions")
     rates.add_argument("reference")
@@ -281,6 +372,8 @@ def main(argv=None) -> int:
         return check_fullsize(arguments.seconds, arguments.tolerance)
     if arguments.command == "checkpoint":
         return check_checkpoint(arguments.path)
+    if arguments.command == "decisions":
+        return check_decisions(arguments.seconds, arguments.batch, arguments.seed)
     return check_error_rates(
         arguments.predictions,
         arguments.reference,
