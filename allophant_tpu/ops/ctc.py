@@ -22,6 +22,9 @@ from allophant_tpu.ops import masking
 # overflow f32 (~1e30 + 500 * 30 << 3.4e38).
 _LOG_ZERO = -1e30
 
+# Unroll factor of the fused CTC forward scan (see _ctc_forward_fused).
+FORWARD_SCAN_UNROLL = 4
+
 # Degenerate-input semantics of the two CTC implementations (identical on every
 # input whose labels have nonzero probability, i.e. all real batches — asserted
 # by the multichip dryrun's fused-vs-unfused gate):
@@ -133,12 +136,13 @@ def _ctc_forward_fused(
 
     # unroll: each fused step is a handful of small VPU ops on [R, S] tiles, so
     # the T-step recurrence is loop-overhead-bound; unrolling amortizes it
-    # (applies to the autodiff backward scan too).
+    # (applies to the autodiff backward scan too). Module-level so
+    # tools/ab_train_step.py can A/B factors in one process.
     final, _ = jax.lax.scan(
         step,
         initial,
         (jnp.swapaxes(state_lp, 0, 1), jnp.swapaxes(frame_valid, 0, 1)),
-        unroll=4,
+        unroll=FORWARD_SCAN_UNROLL,
     )
 
     row_index = jnp.arange(rows)

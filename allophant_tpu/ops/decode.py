@@ -435,7 +435,11 @@ def beam_search_padded(
 
     emissions_seq = jnp.transpose(log_emissions.astype(jnp.float32), (1, 0, 2))
     steps = jnp.arange(time, dtype=jnp.int32)
-    final_state, (parents, emitted) = jax.lax.scan(step, init_state(), (emissions_seq, steps))
+    # Per-step work is a handful of [B, K(, C)] VPU ops — latency-bound like the
+    # fused CTC scan; unrolling amortizes the loop overhead.
+    final_state, (parents, emitted) = jax.lax.scan(
+        step, init_state(), (emissions_seq, steps), unroll=4
+    )
     _h1, _h2, _last, logp_b, logp_nb = final_state
     scores = jnp.logaddexp(logp_b, logp_nb)
     return parents, emitted, scores

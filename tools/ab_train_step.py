@@ -7,10 +7,15 @@ This harness compiles every variant once in one process and times them in
 interleaved rounds, reporting per-variant medians — differences then reflect the
 program, not the session.
 
-Variants: remat residual sets (BASE vs EXTENDED, models/wav2vec2.py) and the
-fused-CTC scan unroll factor (ops/ctc.py). Add more as needed.
+Variant axes (pass as the first argument):
+  remat   — remat residual sets BASE vs EXTENDED (models/wav2vec2.py)
+  unroll  — fused-CTC scan unroll 1 vs 4 (ops/ctc.py)
+  shape   — accumulation x batch splits of the same 160 audio-s effective batch
+            (identical training semantics: the objective is per-microbatch
+            label-normalized and gradients averaged, so acc 1 x batch 16 and
+            acc 2 x batch 8 produce the same update)
 
-Usage: python tools/ab_train_step.py [accumulation] [batch] [seconds] [rounds]
+Usage: python tools/ab_train_step.py [axis] [seconds] [rounds]
 """
 
 import os
@@ -44,9 +49,12 @@ from allophant_tpu.training.train_step import (
 )
 
 
-def build_step(remat_save_names):
+def build_step(remat_save_names=None, wav2vec2_architecture=None):
     config, indexer, built = build_flagship(
-        dtype=jnp.bfloat16, remat=True, remat_save_names=remat_save_names
+        dtype=jnp.bfloat16,
+        remat=True,
+        remat_save_names=remat_save_names,
+        wav2vec2_architecture=wav2vec2_architecture,
     )
     variables = built.init(jax.random.PRNGKey(0), sample_batch_size=1, sample_length=3200)
     params = variables.pop("params")
@@ -59,51 +67,84 @@ def build_step(remat_save_names):
     return step, params, opt_state, variables, loss_plan
 
 
-def main() -> None:
-    accumulation = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    seconds = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
-    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 7
-
+def make_runner(accumulation, batch, seconds, rng, remat_save_names=None, wav2vec2_architecture=None):
     samples = int(16_000 * seconds)
+    step, params, opt_state, variables, loss_plan = build_step(remat_save_names, wav2vec2_architecture)
+    microbatches = {
+        "audio": jnp.asarray(
+            rng.standard_normal((accumulation, batch, samples)).astype(np.float32)
+        ),
+        "lengths": jnp.full((accumulation, batch), samples, jnp.int32),
+        "language_ids": jnp.zeros((accumulation, batch), jnp.int32),
+    }
+    for head in loss_plan.ctc_heads:
+        microbatches[f"labels_{head}"] = jnp.asarray(
+            rng.integers(1, 4, (accumulation, batch, 30)).astype(np.int32)
+        )
+        microbatches[f"label_lengths_{head}"] = jnp.full((accumulation, batch), 30, jnp.int32)
+    key = jax.random.key(1, impl="rbg")
+
+    def run():
+        start = time.perf_counter()
+        _p, _o, metrics = step(params, opt_state, variables, microbatches, key)
+        float(metrics["mean_loss"])  # fences execution through the tunnel
+        return time.perf_counter() - start
+
+    return run
+
+
+def main() -> None:
+    axis = sys.argv[1] if len(sys.argv) > 1 else "remat"
+    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+
     rng = np.random.default_rng(0)
-
     variants = {}
-    for name, save_names in [
-        ("remat-base", REMAT_SAVE_NAMES_BASE),
-        ("remat-extended", REMAT_SAVE_NAMES_EXTENDED),
-    ]:
-        step, params, opt_state, variables, loss_plan = build_step(save_names)
-        microbatches = {
-            "audio": jnp.asarray(
-                rng.standard_normal((accumulation, batch, samples)).astype(np.float32)
-            ),
-            "lengths": jnp.full((accumulation, batch), samples, jnp.int32),
-            "language_ids": jnp.zeros((accumulation, batch), jnp.int32),
-        }
-        for head in loss_plan.ctc_heads:
-            microbatches[f"labels_{head}"] = jnp.asarray(
-                rng.integers(1, 4, (accumulation, batch, 30)).astype(np.int32)
-            )
-            microbatches[f"label_lengths_{head}"] = jnp.full((accumulation, batch), 30, jnp.int32)
-        key = jax.random.key(1, impl="rbg")
+    if axis == "remat":
+        for name, save_names in [
+            ("remat-base", REMAT_SAVE_NAMES_BASE),
+            ("remat-extended", REMAT_SAVE_NAMES_EXTENDED),
+        ]:
+            variants[name] = make_runner(2, 8, seconds, rng, save_names)
+            print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
+    elif axis == "unroll":
+        import allophant_tpu.ops.ctc as ctc_module
 
-        def run(step=step, params=params, opt_state=opt_state, variables=variables, micro=microbatches, key=key):
-            start = time.perf_counter()
-            _p, _o, metrics = step(params, opt_state, variables, micro, key)
-            float(metrics["mean_loss"])  # fences execution through the tunnel
-            return time.perf_counter() - start
+        for factor in (1, 4):
+            ctc_module.FORWARD_SCAN_UNROLL = factor
+            name = f"ctc-unroll-{factor}"
+            variants[name] = make_runner(2, 8, seconds, rng)
+            print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
+    elif axis == "shape":
+        for accumulation, batch in ((2, 8), (1, 16)):
+            name = f"acc{accumulation}-batch{batch}"
+            variants[name] = make_runner(accumulation, batch, seconds, rng)
+            print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
+    elif axis == "dropout":
+        # Isolates the cost of training dropout: mask generation + apply on the
+        # [B, T, D] and [B, T, 4D] streams x 24 layers x accumulation, plus the
+        # in-kernel attention dropout. The no-dropout variant is a *measurement*
+        # (dropout-free training is a real config, but the flagship trains at 0.1).
+        import dataclasses as _dataclasses
 
-        compile_time = run()
-        print(f"[{name}] first step (incl. compile): {compile_time:.1f}s", flush=True)
-        variants[name] = run
+        from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture
+
+        default = Wav2Vec2Architecture()
+        dropout_free = _dataclasses.replace(
+            default, hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0
+        )
+        for name, architecture in (("dropout-0.1", default), ("dropout-0", dropout_free)):
+            variants[name] = make_runner(2, 8, seconds, rng, wav2vec2_architecture=architecture)
+            print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
+    else:
+        raise SystemExit(f"unknown axis {axis!r} (remat | unroll | shape)")
 
     times = {name: [] for name in variants}
     for _ in range(rounds):
         for name, run in variants.items():
             times[name].append(run())
 
-    audio_seconds = accumulation * batch * seconds
+    audio_seconds = 160.0 * seconds / 10.0  # every axis uses 160 audio-s effective
     for name, samples_list in times.items():
         median = statistics.median(samples_list)
         best = min(samples_list)
