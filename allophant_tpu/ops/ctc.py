@@ -23,7 +23,10 @@ from allophant_tpu.ops import masking
 _LOG_ZERO = -1e30
 
 # Unroll factor of the fused CTC forward scan (see _ctc_forward_fused).
-FORWARD_SCAN_UNROLL = 4
+# Measured (tools/ab_train_step.py unroll, same-process interleaved rounds):
+# unroll=4 is 11 ms/step WORSE than 1 at the flagship config (254 vs 243 ms
+# median) — the wider loop body scheduled worse than the loop overhead it saved.
+FORWARD_SCAN_UNROLL = 1
 
 # Degenerate-input semantics of the two CTC implementations (identical on every
 # input whose labels have nonzero probability, i.e. all real batches — asserted
@@ -134,10 +137,8 @@ def _ctc_forward_fused(
         # Padded frames are identity steps, matching optax's logit_paddings.
         return jnp.where(valid_t[:, None], updated, alpha), None
 
-    # unroll: each fused step is a handful of small VPU ops on [R, S] tiles, so
-    # the T-step recurrence is loop-overhead-bound; unrolling amortizes it
-    # (applies to the autodiff backward scan too). Module-level so
-    # tools/ab_train_step.py can A/B factors in one process.
+    # Module-level unroll so tools/ab_train_step.py can A/B factors in one
+    # process (see FORWARD_SCAN_UNROLL: unrolling measured slower here).
     final, _ = jax.lax.scan(
         step,
         initial,

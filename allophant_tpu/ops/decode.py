@@ -435,11 +435,7 @@ def beam_search_padded(
 
     emissions_seq = jnp.transpose(log_emissions.astype(jnp.float32), (1, 0, 2))
     steps = jnp.arange(time, dtype=jnp.int32)
-    # Per-step work is a handful of [B, K(, C)] VPU ops — latency-bound like the
-    # fused CTC scan; unrolling amortizes the loop overhead.
-    final_state, (parents, emitted) = jax.lax.scan(
-        step, init_state(), (emissions_seq, steps), unroll=4
-    )
+    final_state, (parents, emitted) = jax.lax.scan(step, init_state(), (emissions_seq, steps))
     _h1, _h2, _last, logp_b, logp_nb = final_state
     scores = jnp.logaddexp(logp_b, logp_nb)
     return parents, emitted, scores
