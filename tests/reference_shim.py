@@ -45,6 +45,9 @@ def reference_available() -> bool:
 
 
 def _build_config_stub() -> types.ModuleType:
+    import dataclasses
+    from typing import Any, List, Optional
+
     module = types.ModuleType("allophant.config")
 
     class FeatureSet(Enum):
@@ -73,10 +76,101 @@ def _build_config_stub() -> types.ModuleType:
     class Config:
         """Opaque placeholder; tests drive ``from_config`` with duck-typed objects."""
 
-    module.FeatureSet = FeatureSet
-    module.PhonemeLayerType = PhonemeLayerType
-    module.ProjectionEntryConfig = ProjectionEntryConfig
-    module.Config = Config
+    # --- Stubs consumed by the reference *network* modules -------------------
+    # These mirror the field/constant surface the reference model code touches
+    # (reference config.py); the marshmallow machinery is irrelevant to the
+    # differential tests, which construct instances directly.
+
+    @dataclasses.dataclass
+    class MultiheadAttentionConfig:
+        num_heads: int = 4
+        positional_embeddings: bool = False
+
+    @dataclasses.dataclass
+    class EmbeddingCompositionConfig:
+        embedding_size: int = 32
+
+    @dataclasses.dataclass
+    class ProjectionConfig:
+        classes: List[Any] = dataclasses.field(default_factory=list)
+        feature_set: Any = FeatureSet.PHOIBLE
+        phoneme_layer: Any = PhonemeLayerType.SHARED
+        embedding_composition: Optional[EmbeddingCompositionConfig] = None
+        acoustic_model_dropout: float = 0.0
+        dependency_blanks: bool = True
+        allophone_l2_alpha: float = 10.0
+
+    @dataclasses.dataclass
+    class Wav2Vec2PretrainedConfig:
+        model_id: str = "facebook/wav2vec2-xls-r-300m"
+        freeze_feature_encoder: bool = True
+        freeze_feature_projection: bool = False
+        freeze_encoder: bool = False
+
+    @dataclasses.dataclass
+    class UnfreezeScheduleConfig:
+        feature_encoder_steps: Optional[int] = None
+        feature_projection_steps: Optional[int] = None
+        encoder_steps: Optional[int] = None
+
+    @dataclasses.dataclass
+    class TransformerAcousticModelConfig:
+        transformer: Any = None
+        frontend: Any = None
+        sequential_frontend: Any = None
+
+    @dataclasses.dataclass
+    class FrontendConfig:
+        pass
+
+    @dataclasses.dataclass
+    class DirectFrontendConfig(FrontendConfig):
+        pass
+
+    @dataclasses.dataclass
+    class LinearFrontendConfig(FrontendConfig):
+        neurons: int = 32
+
+    @dataclasses.dataclass
+    class Glu1dConfig:
+        channels: int = 32
+        kernel_size: int = 3
+
+    @dataclasses.dataclass
+    class DropoutConfig:
+        dropout_rate: float = 0.0
+
+    @dataclasses.dataclass
+    class LayerNormConfig:
+        elementwise_affine: bool = True
+
+    @dataclasses.dataclass
+    class MaxPoolingConfig:
+        kernel_size: int = 2
+
+    @dataclasses.dataclass
+    class SequentialFrontendConfig:
+        layers: List[Any] = dataclasses.field(default_factory=list)
+
+    class BatchingMode(Enum):
+        UTTERANCES = "utterances"
+        FRAMES = "frames"
+
+    @dataclasses.dataclass
+    class Architecture:
+        acoustic_model: Any = None
+        projection: Any = None
+        loss: Any = None
+
+    for symbol in (
+        FeatureSet, PhonemeLayerType, ProjectionEntryConfig, Config,
+        MultiheadAttentionConfig, EmbeddingCompositionConfig, ProjectionConfig,
+        Wav2Vec2PretrainedConfig, UnfreezeScheduleConfig,
+        TransformerAcousticModelConfig, FrontendConfig, DirectFrontendConfig,
+        LinearFrontendConfig, Glu1dConfig, DropoutConfig, LayerNormConfig,
+        MaxPoolingConfig, SequentialFrontendConfig, BatchingMode, Architecture,
+    ):
+        setattr(module, symbol.__name__, symbol)
     return module
 
 
@@ -144,6 +238,75 @@ def load_reference_phonetics():
     features.pd = _PandasReadCsvCompat()
     _cache = (features, segmentation, utils)
     return _cache
+
+
+_network_cache: tuple | None = None
+
+
+def load_reference_network():
+    """Returns ``(acoustic_model, frontend, attribute_graph)`` reference modules.
+
+    Imports the reference's torch *model layer* (/root/reference/allophant/network/)
+    on top of the phonetics shim: torch and HF transformers are present in this
+    image, so the modules under test run unmodified. Additional shims, none of
+    which are code under test:
+
+    - ``marshmallow_dataclass`` — used only to attach a ``.Schema`` to the
+      attribute-graph serialization dataclass (attribute_graph.py:202-224);
+      stubbed with stdlib dataclass + a plain marshmallow Schema.
+    - ``allophant.dataset_processing`` / ``allophant.batching`` — the model layer
+      imports only the ``Batch`` container from them (the real modules pull in
+      torchaudio); stubbed with an attribute-compatible dataclass.
+    - ``allophant.config`` — extended stub (see ``_build_config_stub``).
+    """
+    global _network_cache
+    if _network_cache is not None:
+        return _network_cache
+    load_reference_phonetics()
+
+    if "marshmallow_dataclass" not in sys.modules:
+        import dataclasses as _dataclasses
+
+        import marshmallow
+
+        md = types.ModuleType("marshmallow_dataclass")
+
+        def _md_dataclass(cls=None, **_kwargs):
+            def wrap(inner):
+                decorated = _dataclasses.dataclass(inner)
+                decorated.Schema = marshmallow.Schema
+                return decorated
+
+            return wrap(cls) if cls is not None else wrap
+
+        md.dataclass = _md_dataclass
+        sys.modules["marshmallow_dataclass"] = md
+
+    if "allophant.dataset_processing" not in sys.modules:
+        import dataclasses as _dataclasses
+
+        batch_module = types.ModuleType("allophant.dataset_processing")
+
+        @_dataclasses.dataclass
+        class Batch:
+            audio_features: object
+            lengths: object
+            language_ids: object
+
+        batch_module.Batch = Batch
+        sys.modules["allophant.dataset_processing"] = batch_module
+
+        batching_module = types.ModuleType("allophant.batching")
+        batching_module.Batch = Batch
+        sys.modules["allophant.batching"] = batching_module
+
+    import importlib as _importlib
+
+    attribute_graph = _importlib.import_module("allophant.attribute_graph")
+    frontend = _importlib.import_module("allophant.network.frontend")
+    acoustic_model = _importlib.import_module("allophant.network.acoustic_model")
+    _network_cache = (acoustic_model, frontend, attribute_graph)
+    return _network_cache
 
 
 class _PandasReadCsvCompat(types.ModuleType):
