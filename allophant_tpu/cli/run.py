@@ -839,7 +839,59 @@ def make_parser() -> ArgumentParser:
         " bf16 bound",
     )
 
+    export_parser = subparsers.add_parser(
+        "export",
+        help="AOT-exports the transcription step (weights baked in) as a serialized"
+        " StableHLO artifact for serving hosts without Python model code",
+    )
+    export_parser.add_argument("model_path", help="Model id or checkpoint path to export")
+    export_parser.add_argument("output", help="Output artifact path")
+    export_parser.add_argument(
+        "-s", "--batch-size", type=int, default=8, help="Static serving batch size"
+    )
+    export_parser.add_argument(
+        "-d", "--seconds", type=float, default=10.0,
+        help="Static audio length per utterance in seconds (at 16 kHz)",
+    )
+    export_parser.add_argument(
+        "--decode", choices=["greedy", "log_probs"], default="greedy",
+        help="On-device greedy CTC tokens per head, or per-head log-probs",
+    )
+    export_parser.add_argument(
+        "--bf16", action="store_true", help="Export the bfloat16 compute path"
+    )
+    export_parser.add_argument(
+        "--platforms", type=lambda values: values.split(","), default=None,
+        help="Comma-separated lowering platforms (e.g. tpu,cpu); defaults to this host's backend",
+    )
+    export_parser.add_argument(
+        "--cpu", action="store_true", help="Forces the JAX CPU backend instead of TPU"
+    )
+
     return parser
+
+
+def export_model(arguments: Namespace) -> None:
+    import jax.numpy as jnp
+
+    from allophant_tpu import serving
+    from allophant_tpu.training import Estimator
+
+    estimator, _indexer = Estimator.restore(
+        arguments.model_path, dtype=jnp.bfloat16 if arguments.bf16 else jnp.float32
+    )
+    exported = serving.export_transcriber(
+        estimator,
+        arguments.batch_size,
+        int(16_000 * arguments.seconds),
+        decode=arguments.decode,
+        platforms=arguments.platforms,
+    )
+    serving.save_transcriber(exported, arguments.output)
+    print(
+        f"Exported {arguments.model_path} at batch {arguments.batch_size} x"
+        f" {arguments.seconds:g}s ({arguments.decode}) to {arguments.output}"
+    )
 
 
 def main(args: Sequence[str] | None = None) -> None:
@@ -866,6 +918,12 @@ def main(args: Sequence[str] | None = None) -> None:
         predict(arguments)
     elif arguments.mode == "edits":
         edits(arguments)
+    elif arguments.mode == "export":
+        if arguments.cpu:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        export_model(arguments)
     else:
         raise ValueError(f"Unsupported action: {arguments.mode}")
 
