@@ -1,4 +1,4 @@
-"""``allophant`` CLI: train / generate-config / predict / evaluate / edits.
+"""``allophant`` CLI: train / generate-config / predict / evaluate / edits / export.
 
 Counterpart of /root/reference/allophant/run.py:831-1105 with the same subcommand
 surface and flags. Training and inference run through the TPU-native estimator; the
