@@ -159,14 +159,20 @@ class FreezePlan:
 
 def build_freeze_plan(acoustic_config) -> FreezePlan:
     """Derives the freeze plan from a ``Wav2Vec2PretrainedConfig`` (freeze flags +
-    optional unfreeze schedule); other acoustic models train all parameters."""
+    optional unfreeze schedule); other acoustic models train all parameters.
+
+    Reference semantics (pinned by tests/test_reference_model_differential.py):
+    the unfreeze schedule only *thaws* groups the freeze flags froze
+    (UnfreezeSchedule calls ``_freeze_module(trainable=True)`` after N steps,
+    acoustic_model.py:879-897) — a schedule entry without the matching freeze
+    flag never freezes anything, so it contributes nothing to the plan."""
     from allophant_tpu.config import Wav2Vec2PretrainedConfig
 
     if not isinstance(acoustic_config, Wav2Vec2PretrainedConfig):
         return FreezePlan()
     groups = []
     for subtree, frozen, schedule_steps in acoustic_config.freeze_groups():
-        if frozen or schedule_steps is not None:
+        if frozen:
             groups.append((("acoustic_model", subtree), schedule_steps))
     return FreezePlan(tuple(groups))
 

@@ -291,6 +291,62 @@ def _compare_predictions(reference_model, path, seed=3, target_inventory=None, a
     return estimator, indexer
 
 
+def test_unfreeze_schedule_matches_reference(ref_network, tmp_path):
+    """Step semantics of the unfreeze schedule (reference acoustic_model.py:856-905):
+    the reference flips requires_grad after the N-th post-update step() call, so a
+    group is frozen for 0-based update indices < N and trainable from index N on —
+    exactly our FreezePlan's ``step >= threshold`` factor (train_step.py)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from allophant_tpu.training.train_step import FreezePlan, apply_freeze_plan
+
+    acoustic_model_module, _frontend, _graph_module = ref_network
+    model_dir = _local_wav2vec2_dir(tmp_path)
+    torch.manual_seed(0)
+    acoustic = acoustic_model_module.Wav2Vec2AcousticModel(
+        model_dir, 16_000, freeze_feature_encoder=True, load_pretrained_weights=False
+    )
+    # feature_extractor: frozen by flag + thawed by the schedule at step 2.
+    # feature_projection: scheduled but NOT flag-frozen — the reference schedule
+    # only thaws (acoustic_model.py:879-897), so the group trains from update 0
+    # and build_freeze_plan must exclude it from the plan.
+    from types import SimpleNamespace
+
+    from allophant_tpu.training.train_step import build_freeze_plan as _noop  # noqa: F401
+
+    schedule = acoustic_model_module.UnfreezeSchedule(
+        feature_extractor=2, feature_projection=4
+    )
+    plan = FreezePlan(((("acoustic_model", "feature_extractor"), 2),))
+    grads = {
+        "acoustic_model": {
+            "feature_extractor": jnp.ones(3),
+            "feature_projection": jnp.ones(3),
+            "encoder": jnp.ones(3),
+        }
+    }
+
+    groups = {
+        "feature_extractor": acoustic._model.feature_extractor,
+        "feature_projection": acoustic._model.feature_projection,
+    }
+    for update_index in range(6):
+        # State DURING update `update_index` (before its post-update step() call).
+        reference_trainable = {
+            name: any(parameter.requires_grad for parameter in module.parameters())
+            for name, module in groups.items()
+        }
+        masked = apply_freeze_plan(grads, plan, jnp.asarray(update_index, jnp.int32))
+        ours_trainable = {
+            name: bool(np.asarray(masked["acoustic_model"][name]).any()) for name in groups
+        }
+        assert ours_trainable == reference_trainable, f"update {update_index}"
+        assert bool(np.asarray(masked["acoustic_model"]["encoder"]).any())  # never frozen
+        schedule.step(acoustic)
+
+
 def test_shared_linear_heads_match_reference(ref_network, tmp_path):
     model_dir = _local_wav2vec2_dir(tmp_path)
     reference_model, _ref_indexer, _graph = _build_reference_model(
