@@ -291,6 +291,48 @@ def _compare_predictions(reference_model, path, seed=3, target_inventory=None, a
     return estimator, indexer
 
 
+def test_conv_length_math_matches_reference(ref_network):
+    """Frame-count math after convolutions drives every CTC length — pinned
+    against the reference's own ``frontend.conv_length``/``padding.get_padding``
+    (reference frontend.py:192-203, padding.py:10-21) over randomized
+    kernel/stride combinations, padded and unpadded."""
+    import torch
+
+    from allophant_tpu.ops import masking
+
+    _acoustic, ref_frontend, _graph = ref_network
+    rng = np.random.default_rng(41)
+    for _ in range(40):
+        kernel = int(rng.integers(1, 12))
+        stride = int(rng.integers(1, 6))
+        for use_padding in (False, True):
+            for stft_type in ((False, True) if use_padding else (False,)):
+                reference_fn = ref_frontend.conv_length(kernel, stride, use_padding, stft_type)
+                lengths = rng.integers(kernel, 4000, size=16)
+                expected = reference_fn(torch.from_numpy(lengths)).numpy()
+                padding_total = (
+                    sum(masking.get_padding(kernel, stride, stft_type)) if use_padding else 0
+                )
+                ours = masking.conv_output_length(lengths, kernel, stride, padding_total)
+                np.testing.assert_array_equal(np.asarray(ours), expected, err_msg=f"{kernel}/{stride}")
+
+    # The wav2vec2 downsampling chain (no padding), the exact CTC length path.
+    from allophant_tpu.models.wav2vec2 import Wav2Vec2Architecture
+
+    arch = Wav2Vec2Architecture(**TINY)
+    chain = [
+        ref_frontend.conv_length(kernel, stride, use_padding=False)
+        for kernel, stride in zip(arch.conv_kernel, arch.conv_stride)
+    ]
+    lengths = rng.integers(64, 32_000, size=32)
+    expected = torch.from_numpy(lengths)
+    for fn in chain:
+        expected = fn(expected)
+    np.testing.assert_array_equal(
+        np.asarray(arch.downsampled_lengths(lengths)), expected.numpy()
+    )
+
+
 def test_unfreeze_schedule_matches_reference(ref_network, tmp_path):
     """Step semantics of the unfreeze schedule (reference acoustic_model.py:856-905):
     the reference flips requires_grad after the N-th post-update step() call, so a
