@@ -293,27 +293,114 @@ def _layer_norm(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarr
     return {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
 
 
+def _convert_transformer_acoustic_state(state: Dict[str, np.ndarray], config) -> Dict:
+    """Maps the reference's from-scratch ``TransformerAcousticModel.state_dict()``
+    (acoustic_model.py:665-759, frontend.py:154-265) onto our
+    ``models.transformer.TransformerAcousticModel`` tree.
+
+    Reference naming: ``_acoustic_model._frontend._layer.<i>`` (Linear frontend
+    Sequential: optional Dropout, LayerNorm, Linear, LeakyReLU),
+    ``_acoustic_model._sequential_frontend._layers.layers.<i>.module`` per
+    LengthWrapper (GLU conv under ``._weights``, affine LayerNorm at Sequential
+    slot 1 between two Transposes), ``_acoustic_model._transformer.layers.<i>``
+    torch encoder layers (packed ``self_attn.in_proj_*``), and
+    ``_acoustic_model._final_layer_norm``. Our encoder layers run under
+    ``nn.scan``, so per-layer tensors stack into leading-[L] arrays."""
+    from allophant_tpu.config import Glu1dConfig, LayerNormConfig, LinearFrontendConfig
+
+    prefix = "_acoustic_model."
+    params: Dict[str, Any] = {}
+    affine = config.elementwise_affine
+
+    frontend = config.frontend
+    if isinstance(frontend, LinearFrontendConfig):
+        # Sequential indices shift by one when an input-dropout module leads.
+        offset = 1 if frontend.input_dropout > 0 else 0
+        if affine:
+            params["frontend_norm"] = _layer_norm(state, f"{prefix}_frontend._layer.{offset}")
+        params["frontend_linear"] = _linear(state, f"{prefix}_frontend._layer.{offset + 1}")
+
+    if config.sequential_frontend is not None:
+        sequential: Dict[str, Any] = {}
+        for index, layer in enumerate(config.sequential_frontend.layers):
+            base = f"{prefix}_sequential_frontend._layers.layers.{index}.module"
+            if isinstance(layer, Glu1dConfig):
+                weight = state[f"{base}._weights.weight"]  # torch Conv1d [2C, in, K]
+                sequential[f"glu_{index}"] = {
+                    "weights": {
+                        "kernel": np.ascontiguousarray(weight.transpose(2, 1, 0)),
+                        "bias": state[f"{base}._weights.bias"],
+                    }
+                }
+            elif isinstance(layer, LayerNormConfig) and layer.affine:
+                sequential[f"norm_{index}"] = _layer_norm(state, f"{base}.1")
+        if sequential:
+            params["sequential_frontend"] = sequential
+
+    stacked: Dict[str, Dict[str, List[np.ndarray]]] = {}
+
+    def push(module: str, leaf: str, value: np.ndarray) -> None:
+        stacked.setdefault(module, {}).setdefault(leaf, []).append(value)
+
+    for index in range(config.transformer.num_layers):
+        base = f"{prefix}_transformer.layers.{index}"
+        in_proj_weight = state[f"{base}.self_attn.in_proj_weight"]
+        in_proj_bias = state[f"{base}.self_attn.in_proj_bias"]
+        hidden = in_proj_weight.shape[0] // 3
+        for part, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            push(name, "kernel", np.ascontiguousarray(
+                in_proj_weight[part * hidden : (part + 1) * hidden].T
+            ))
+            push(name, "bias", in_proj_bias[part * hidden : (part + 1) * hidden])
+        out_proj = _linear(state, f"{base}.self_attn.out_proj")
+        push("out_proj", "kernel", out_proj["kernel"])
+        push("out_proj", "bias", out_proj["bias"])
+        for linear_name in ("linear1", "linear2"):
+            linear = _linear(state, f"{base}.{linear_name}")
+            push(linear_name, "kernel", linear["kernel"])
+            push(linear_name, "bias", linear["bias"])
+        if affine:
+            for norm_name in ("norm1", "norm2"):
+                norm = _layer_norm(state, f"{base}.{norm_name}")
+                push(norm_name, "scale", norm["scale"])
+                push(norm_name, "bias", norm["bias"])
+
+    params["layers"] = {
+        module: {leaf: np.stack(values) for leaf, values in leaves.items()}
+        for module, leaves in stacked.items()
+    }
+    if affine:
+        params["final_norm"] = _layer_norm(state, f"{prefix}_final_layer_norm")
+    return params
+
+
 def convert_reference_model_state(
     state: Dict[str, np.ndarray],
     plan: ProjectionPlan,
     wav2vec2_architecture: Optional[Wav2Vec2Architecture],
+    acoustic_config=None,
 ) -> Dict:
     """Maps the reference's ``Allophant.state_dict()`` names onto our parameter tree.
 
     Reference naming (acoustic_model.py:944-1064): ``_acoustic_model._model.<hf>`` for
-    the wrapped wav2vec2, ``_projection._layers.<node>._time_distributed_layer`` for
-    classifier layers, ``...._composition_layer._attribute_embeddings.weight`` and
+    the wrapped wav2vec2 (``_acoustic_model._frontend/_transformer/...`` for the
+    from-scratch transformer family), ``_projection._layers.<node>._time_distributed_layer``
+    for classifier layers, ``...._composition_layer._attribute_embeddings.weight`` and
     ``...._allophone_layer._allophone_matrices``."""
+    from allophant_tpu.config import TransformerAcousticModelConfig
+
     params: Dict[str, Any] = {}
 
     if wav2vec2_architecture is not None:
         params["acoustic_model"] = convert_wav2vec2_state(
             state, wav2vec2_architecture, prefix="_acoustic_model._model."
         )
+    elif isinstance(acoustic_config, TransformerAcousticModelConfig):
+        params["acoustic_model"] = _convert_transformer_acoustic_state(state, acoustic_config)
     else:
         raise NotImplementedError(
-            "Reference checkpoints with from-scratch transformer acoustic models are not"
-            " supported yet (released checkpoints all use wav2vec2)"
+            "Reference checkpoints with this acoustic model type are not supported"
+            f" (got {type(acoustic_config).__name__})"
         )
 
     projection: Dict[str, Any] = {}

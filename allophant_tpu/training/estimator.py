@@ -387,6 +387,7 @@ class Estimator:
                 checkpoint.reference_model_state,
                 estimator.built.model.plan,
                 wav2vec2_architecture,
+                acoustic_config=checkpoint.config.nn.acoustic_model,
             )
             _check_tree_shapes(estimator.variables["params"], params)
             estimator.variables["params"] = jax.tree_util.tree_map(jnp.asarray, params)

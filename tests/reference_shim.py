@@ -118,35 +118,40 @@ def _build_config_stub() -> types.ModuleType:
         transformer: Any = None
         frontend: Any = None
         sequential_frontend: Any = None
+        elementwise_affine: bool = False
 
     @dataclasses.dataclass
     class FrontendConfig:
         pass
 
+    # Field names per the reference config (config.py) as consumed by
+    # frontend.py:154-265 and TransformerAcousticModel.from_config (:729-759).
     @dataclasses.dataclass
     class DirectFrontendConfig(FrontendConfig):
-        pass
+        input_dropout: float = 0.0
 
     @dataclasses.dataclass
     class LinearFrontendConfig(FrontendConfig):
         neurons: int = 32
+        input_dropout: float = 0.0
 
     @dataclasses.dataclass
     class Glu1dConfig:
-        channels: int = 32
-        kernel_size: int = 3
+        out_channels: int = 32
+        kernel: int = 3
+        stride: int = 1
 
     @dataclasses.dataclass
     class DropoutConfig:
-        dropout_rate: float = 0.0
+        rate: float = 0.0
 
     @dataclasses.dataclass
     class LayerNormConfig:
-        elementwise_affine: bool = True
+        affine: bool = False
 
     @dataclasses.dataclass
     class MaxPoolingConfig:
-        kernel_size: int = 2
+        size: int = 2
 
     @dataclasses.dataclass
     class SequentialFrontendConfig:

@@ -291,6 +291,215 @@ def _compare_predictions(reference_model, path, seed=3, target_inventory=None, a
     return estimator, indexer
 
 
+@pytest.mark.parametrize("variant", ["linear-sequential-affine", "direct-plain"])
+def test_from_scratch_transformer_matches_reference(ref_network, tmp_path, variant):
+    """The from-scratch model family (reference acoustic_model.py:553-759,
+    frontend.py): the reference's own ``TransformerAcousticModel.from_config``
+    builds the torch model, its real state_dict restores through our converter's
+    transformer branch, and forwards must agree — Linear/Direct frontends, GLU
+    sequential frontend with variable-length reflect padding, affine and
+    non-affine layer norms, sinusoidal position embeddings."""
+    import sys
+    from types import SimpleNamespace
+
+    import torch
+
+    acoustic_model_module, _frontend, graph_module = ref_network
+    ref_features = sys.modules["allophant.phonetic_features"]
+    config_stub = sys.modules["allophant.config"]
+
+    affine = variant == "linear-sequential-affine"
+    transformer_stub = SimpleNamespace(
+        heads=2, feedforward_neurons=64, num_layers=2, dropout_rate=0.0,
+        activation="relu", positional_embeddings=True,
+    )
+    if affine:
+        frontend_stub = config_stub.LinearFrontendConfig(neurons=32, input_dropout=0.0)
+        sequential_stub = config_stub.SequentialFrontendConfig(
+            [
+                config_stub.Glu1dConfig(out_channels=24, kernel=3, stride=2),
+                config_stub.LayerNormConfig(affine=True),
+                config_stub.DropoutConfig(rate=0.0),
+            ]
+        )
+        acoustic_dict = {
+            "type": "pre-ln-transformer",
+            "transformer": {
+                "feedforward_neurons": 64, "heads": 2, "num_layers": 2,
+                "dropout_rate": 0.0, "activation": "relu", "positional_embeddings": True,
+            },
+            "frontend": {"architecture": "linear", "neurons": 32, "input_dropout": 0.0},
+            "sequential_frontend": {
+                "layers": [
+                    {"type": "glu1d", "out_channels": 24, "kernel": 3, "stride": 2},
+                    {"type": "layer_norm", "affine": True},
+                    {"type": "dropout", "rate": 0.0},
+                ]
+            },
+            "elementwise_affine": True,
+        }
+    else:
+        frontend_stub = config_stub.DirectFrontendConfig(input_dropout=0.0)
+        sequential_stub = None
+        acoustic_dict = {
+            "type": "pre-ln-transformer",
+            "transformer": {
+                "feedforward_neurons": 64, "heads": 2, "num_layers": 2,
+                "dropout_rate": 0.0, "activation": "relu", "positional_embeddings": True,
+            },
+            "frontend": {"architecture": "direct", "input_dropout": 0.0},
+            "elementwise_affine": False,
+        }
+    layer_config_stub = config_stub.TransformerAcousticModelConfig(
+        transformer=transformer_stub,
+        frontend=frontend_stub,
+        sequential_frontend=sequential_stub,
+        elementwise_affine=affine,
+    )
+
+    feature_size = 8 if affine else 32
+    torch.manual_seed(1)
+    acoustic = acoustic_model_module.TransformerAcousticModel.from_config(
+        layer_config_stub, feature_size
+    ).eval()
+
+    # Shared-linear heads on top, like the reference baseline models.
+    inventories = ref_features.LanguageInventories(
+        {0: ["a", "b", "d", "t"], 1: ["a", "t", "s"]}, ["es", "it"]
+    )
+    indexer = ref_features.PhoneticAttributeIndexer(
+        config_stub.FeatureSet.PHOIBLE,
+        _csv_buffer(),
+        CLASSIFIER_FEATURES + ["phoneme"],
+        sorted(inventories.shared_inventory()),
+        inventories,
+        allophones_from_allophoible=False,
+    )
+    nodes = [
+        graph_module.AttributeNode(name, indexer.size(name), None, ["OUTPUT"])
+        for name in CLASSIFIER_FEATURES
+    ] + [graph_module.AttributeNode("phoneme", len(indexer.phonemes), None, ["OUTPUT"])]
+    reference_model = acoustic_model_module.Allophant(
+        acoustic,
+        graph_module.AttributeGraph(nodes),
+        1,
+        config_stub.ProjectionConfig(phoneme_layer=config_stub.PhonemeLayerType.SHARED),
+        indexer,
+    ).eval()
+
+    # Our checkpoint with the reference's real state_dict.
+    from allophant_tpu.config import Config
+    from allophant_tpu.models.allophant import attribute_graph_from_config
+    from allophant_tpu.phonetics.features import LanguageInventories, PhoneticAttributeIndexer
+
+    config_dict = mini_config_dict()
+    config_dict["nn"]["acoustic_model"] = acoustic_dict
+    config = Config.load(config_dict)
+    my_inventories = LanguageInventories({0: ["a", "b", "d", "t"], 1: ["a", "t", "s"]}, ["es", "it"])
+    my_indexer = PhoneticAttributeIndexer.from_config(config, mini_allophoible_csv(), my_inventories)
+    graph = attribute_graph_from_config(config, my_indexer)
+    checkpoint_data = {
+        "config": config.dump(),
+        "allophant_version": "reference-differential",
+        "feature_size": feature_size,
+        "sample_rate": 16000,
+        "attribute_graph": graph.to_dict(),
+        "epoch": {"epoch": 1, "global_step": 1, "step": 1},
+        "phonetic_indexer_state": my_indexer.state().to_dict(),
+        "dataset_meta_data": [],
+        "model_state": reference_model.state_dict(),
+        "optimization_states": None,
+        "history": [],
+        "additional": None,
+    }
+    path = str(tmp_path / "from_scratch.pt")
+    torch.save(checkpoint_data, path)
+
+    from allophant_tpu.data.batch import Batch
+    from allophant_tpu.training import Estimator
+
+    estimator, _restored_indexer = Estimator.restore(path)
+
+    rng = np.random.default_rng(9)
+    frames = 40
+    # Batch 1 for the sequential-frontend variant: the reference's reflect-pad
+    # bug broadcasts row 0's left padding into every row (see
+    # test_variable_length_reflect_pad_reference_bug), and attention spreads
+    # that contamination to all frames — only row 0 is well-defined on the
+    # reference side. The plain variant compares a 2-row batch with a short row.
+    batch_size = 1 if affine else 2
+    features = rng.standard_normal((batch_size, frames, feature_size)).astype(np.float32)
+    lengths = np.array([frames, frames - 11], dtype=np.int32)[:batch_size]
+    for row, length in enumerate(lengths):
+        features[row, length:] = 0.0
+    language_ids = np.arange(batch_size, dtype=np.int32)
+
+    ours = estimator.predict(
+        Batch(features, lengths, language_ids), log_probabilities=False
+    )
+    frame_lengths = np.asarray(ours.lengths)
+
+    BatchStub = sys.modules["allophant.dataset_processing"].Batch
+    with torch.no_grad():
+        # Reference frontends consume [B, F, T].
+        expected = reference_model(
+            BatchStub(
+                torch.from_numpy(features.transpose(0, 2, 1)),
+                torch.from_numpy(lengths),
+                torch.from_numpy(language_ids),
+            ),
+            predict=True,
+        )
+
+    valid_frames = int(frame_lengths.max())
+    frame_mask = np.arange(valid_frames)[None, :] < frame_lengths[:, None]
+    for name, expected_head in expected.outputs.items():
+        theirs = expected_head.numpy()[:valid_frames]
+        mine = np.asarray(ours.outputs[name])[:valid_frames]
+        difference = np.abs(mine - theirs)[frame_mask.T]
+        assert difference.max() < 2e-3, f"{variant}/{name}: max |diff| {difference.max():.2e}"
+
+
+def test_variable_length_reflect_pad_reference_bug(ref_network):
+    """Latent reference bug, discovered by executing its own code: in
+    ``VariableLengthReflectPad`` (reference padding.py:41-53) the left-pad
+    ``gather`` builds a batch-size-1 index, and the ``padded[..., :left] = ...``
+    assignment then *broadcasts row 0's reflected values into every batch row* —
+    the left padding of every sequence in a batch contains the FIRST sequence's
+    samples (cross-batch contamination; batch-composition-dependent outputs).
+    Right padding is computed per row and is correct. We reflect per row
+    (models/transformer.py:variable_length_reflect_pad); this test pins both
+    behaviors so the deviation stays deliberate."""
+    import sys
+
+    import torch
+
+    from allophant_tpu.models.transformer import variable_length_reflect_pad
+
+    padding_module = sys.modules["allophant.network.padding"]
+    pad = padding_module.VariableLengthReflectPad((1, 2))
+    features = torch.arange(1, 13, dtype=torch.float32).view(2, 1, 6)  # [B, F, T]
+    lengths = torch.tensor([6, 4])
+    reference = pad(features, lengths)
+    # Row 0: true reflection at the sequence start.
+    assert reference[0, 0, 0].item() == features[0, 0, 1].item()
+    # Row 1: receives ROW 0's reflected value, not its own.
+    assert reference[1, 0, 0].item() == features[0, 0, 1].item()
+    assert reference[1, 0, 0].item() != features[1, 0, 1].item()
+
+    ours = np.asarray(
+        variable_length_reflect_pad(
+            np.asarray(features.numpy().transpose(0, 2, 1)), np.array([6, 4]), (1, 2)
+        )
+    )
+    # Ours reflects per row on both edges...
+    assert ours[0, 0, 0] == features[0, 0, 1].item()
+    assert ours[1, 0, 0] == features[1, 0, 1].item()
+    # ...and matches the reference's (correct, per-row) right padding at length.
+    np.testing.assert_array_equal(ours[0, 1:], reference[0, 0, 1:].numpy()[:, None])
+    np.testing.assert_array_equal(ours[1, 1:5 + 2], reference[1, 0, 1:7].numpy()[:, None])
+
+
 def test_conv_length_math_matches_reference(ref_network):
     """Frame-count math after convolutions drives every CTC length — pinned
     against the reference's own ``frontend.conv_length``/``padding.get_padding``
