@@ -245,6 +245,197 @@ def load_reference_phonetics():
     return _cache
 
 
+def _ensure_marshmallow_dataclass_stub() -> types.ModuleType:
+    """Installs (or extends) a ``marshmallow_dataclass`` stub.
+
+    The reference uses the package for three things on the paths under test, none
+    of which are code under test: ``@marshmallow_dataclass.dataclass`` /
+    ``add_schema`` (attach a ``.Schema`` used only for state serialization) and
+    ``class_schema`` (builds the tagged-union schema tables at import time, never
+    exercised by the differential tests). ``add_schema`` attaches a functional
+    dict-passthrough schema so ``WarmupScheduler.state_dict`` round-trips work
+    (reference config.py:168-173)."""
+    import dataclasses as _dataclasses
+
+    import marshmallow
+
+    md = sys.modules.get("marshmallow_dataclass")
+    if md is None:
+        md = types.ModuleType("marshmallow_dataclass")
+        sys.modules["marshmallow_dataclass"] = md
+
+    if not hasattr(md, "dataclass"):
+
+        def _md_dataclass(cls=None, **_kwargs):
+            def wrap(inner):
+                decorated = _dataclasses.dataclass(inner)
+                decorated.Schema = marshmallow.Schema
+                return decorated
+
+            return wrap(cls) if cls is not None else wrap
+
+        md.dataclass = _md_dataclass
+
+    if not hasattr(md, "add_schema"):
+
+        def _add_schema(cls):
+            class _PassthroughSchema:
+                def dump(self, obj):
+                    return _dataclasses.asdict(obj)
+
+                def load(self, data):
+                    return cls(**data)
+
+            cls.Schema = _PassthroughSchema
+            return cls
+
+        md.add_schema = _add_schema
+
+    if not hasattr(md, "class_schema"):
+        md.class_schema = lambda _cls, **_kwargs: marshmallow.Schema
+
+    return md
+
+
+def _load_reference_file(module_name: str, relative_path: str):
+    """Executes one reference source file under an out-of-package module name.
+
+    Used where ``sys.modules["allophant.<name>"]`` already holds a stub that other
+    reference modules rely on (config, batching): the real file still resolves its
+    own absolute ``allophant.*`` imports through the fake package."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(module_name, _REFERENCE_PACKAGE / relative_path)
+    assert spec is not None and spec.loader is not None
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[module_name] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+def _ensure_dataset_processing_stub() -> types.ModuleType:
+    """Installs a stub ``allophant.dataset_processing`` (the real one imports
+    torchaudio). ``Batch`` carries the three fields the reference model layer
+    reads (dataset_processing.py:49-85); the remaining names are referenced for
+    annotations/isinstance only."""
+    import dataclasses as _dataclasses
+
+    processing = sys.modules.get("allophant.dataset_processing")
+    if processing is None:
+        processing = types.ModuleType("allophant.dataset_processing")
+        sys.modules["allophant.dataset_processing"] = processing
+
+    if not hasattr(processing, "Batch"):
+
+        @_dataclasses.dataclass
+        class Batch:
+            audio_features: object
+            lengths: object
+            language_ids: object
+
+        processing.Batch = Batch
+
+    for name in ("BatchType", "LabeledBatch", "PhonemeDataset", "RawLabeledBatch"):
+        if not hasattr(processing, name):
+            # Subscriptable so the reference's generic annotations (e.g.
+            # ``PhonemeDataset[Any, Any, T]``, batching.py:269) evaluate.
+            stub = type(name, (), {"__class_getitem__": classmethod(lambda cls, _item: cls)})
+            setattr(processing, name, stub)
+
+    if "allophant.batching" not in sys.modules:
+        batching_module = types.ModuleType("allophant.batching")
+        batching_module.Batch = processing.Batch
+        sys.modules["allophant.batching"] = batching_module
+    return processing
+
+
+_config_cache: types.ModuleType | None = None
+
+
+def load_reference_config():
+    """Returns the reference's *real* ``config.py`` module (torch optimizers,
+    ``WarmupScheduler``, ``OptimizerWrapper``), executed from the checkout.
+
+    ``sys.modules["allophant.config"]`` keeps the lightweight stub (other
+    reference modules import only a few symbols from it), so the real module is
+    loaded under a private name. Stubbed import-time dependencies, none of them
+    code under test: ``toml`` (used only inside ``Config.from_toml``),
+    ``marshmallow_oneofschema.OneOfSchema`` / ``marshmallow_enum.EnumField``
+    (schema machinery; the differential tests construct configs directly), and
+    ``marshmallow_dataclass`` (see ``_ensure_marshmallow_dataclass_stub``).
+    ``marshmallow`` itself and ``allophant.utils``/``loss_functions`` are real."""
+    global _config_cache
+    if _config_cache is not None:
+        return _config_cache
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+
+    if "toml" not in sys.modules:
+        sys.modules["toml"] = types.ModuleType("toml")
+
+    if "marshmallow_oneofschema" not in sys.modules:
+        import marshmallow
+
+        oneof = types.ModuleType("marshmallow_oneofschema")
+
+        class OneOfSchema(marshmallow.Schema):
+            type_field = "type"
+            type_schemas: dict = {}
+
+        oneof.OneOfSchema = OneOfSchema
+        sys.modules["marshmallow_oneofschema"] = oneof
+
+    if "marshmallow_enum" not in sys.modules:
+        enum_module = types.ModuleType("marshmallow_enum")
+
+        class EnumField:
+            def __init__(self, *_args, **_kwargs):
+                pass
+
+        enum_module.EnumField = EnumField
+        sys.modules["marshmallow_enum"] = enum_module
+
+    _config_cache = _load_reference_file("allophant_reference_config", "config.py")
+    return _config_cache
+
+
+_batching_cache: types.ModuleType | None = None
+
+
+def load_reference_batching():
+    """Returns the reference's *real* ``batching.py`` module (samplers).
+
+    The module imports ``Batch``/``LabeledBatch``/... and ``MultilingualCorpus``
+    for type annotations and isinstance checks only; the sampler differential
+    tests drive it with duck-typed corpora, so attribute-bare stubs suffice
+    (the real ``dataset_processing``/``speech_corpus`` pull in torchaudio,
+    absent from this image)."""
+    global _batching_cache
+    if _batching_cache is not None:
+        return _batching_cache
+    load_reference_phonetics()
+
+    _ensure_dataset_processing_stub()
+
+    if "allophant.datasets" not in sys.modules:
+        sys.modules["allophant.datasets"] = types.ModuleType("allophant.datasets")
+    if "allophant.datasets.speech_corpus" not in sys.modules:
+        speech_corpus = types.ModuleType("allophant.datasets.speech_corpus")
+        speech_corpus.MultilingualCorpus = type("MultilingualCorpus", (), {})
+        sys.modules["allophant.datasets.speech_corpus"] = speech_corpus
+
+    _batching_cache = _load_reference_file("allophant_reference_batching", "batching.py")
+    return _batching_cache
+
+
+def load_reference_attribute_graph():
+    """Returns the reference's real ``attribute_graph`` module without pulling in
+    the torch model layer (cheap subset of ``load_reference_network``)."""
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+    return importlib.import_module("allophant.attribute_graph")
+
+
 _network_cache: tuple | None = None
 
 
@@ -269,41 +460,8 @@ def load_reference_network():
         return _network_cache
     load_reference_phonetics()
 
-    if "marshmallow_dataclass" not in sys.modules:
-        import dataclasses as _dataclasses
-
-        import marshmallow
-
-        md = types.ModuleType("marshmallow_dataclass")
-
-        def _md_dataclass(cls=None, **_kwargs):
-            def wrap(inner):
-                decorated = _dataclasses.dataclass(inner)
-                decorated.Schema = marshmallow.Schema
-                return decorated
-
-            return wrap(cls) if cls is not None else wrap
-
-        md.dataclass = _md_dataclass
-        sys.modules["marshmallow_dataclass"] = md
-
-    if "allophant.dataset_processing" not in sys.modules:
-        import dataclasses as _dataclasses
-
-        batch_module = types.ModuleType("allophant.dataset_processing")
-
-        @_dataclasses.dataclass
-        class Batch:
-            audio_features: object
-            lengths: object
-            language_ids: object
-
-        batch_module.Batch = Batch
-        sys.modules["allophant.dataset_processing"] = batch_module
-
-        batching_module = types.ModuleType("allophant.batching")
-        batching_module.Batch = Batch
-        sys.modules["allophant.batching"] = batching_module
+    _ensure_marshmallow_dataclass_stub()
+    _ensure_dataset_processing_stub()
 
     import importlib as _importlib
 
