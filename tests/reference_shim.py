@@ -416,16 +416,68 @@ def load_reference_batching():
     load_reference_phonetics()
 
     _ensure_dataset_processing_stub()
-
-    if "allophant.datasets" not in sys.modules:
-        sys.modules["allophant.datasets"] = types.ModuleType("allophant.datasets")
-    if "allophant.datasets.speech_corpus" not in sys.modules:
-        speech_corpus = types.ModuleType("allophant.datasets.speech_corpus")
-        speech_corpus.MultilingualCorpus = type("MultilingualCorpus", (), {})
-        sys.modules["allophant.datasets.speech_corpus"] = speech_corpus
+    _ensure_speech_corpus_stub()
 
     _batching_cache = _load_reference_file("allophant_reference_batching", "batching.py")
     return _batching_cache
+
+
+def _ensure_speech_corpus_stub() -> types.ModuleType:
+    """Installs a stub ``allophant.datasets.speech_corpus`` (the real one imports
+    torchaudio/mutagen). All names are referenced by the modules under test for
+    annotations only; stubs are generic-subscriptable so annotations like
+    ``MultilingualCorpus[I, T]`` evaluate."""
+    if "allophant.datasets" not in sys.modules:
+        sys.modules["allophant.datasets"] = types.ModuleType("allophant.datasets")
+    speech_corpus = sys.modules.get("allophant.datasets.speech_corpus")
+    if speech_corpus is None:
+        speech_corpus = types.ModuleType("allophant.datasets.speech_corpus")
+        sys.modules["allophant.datasets.speech_corpus"] = speech_corpus
+    for name in (
+        "IndexedEntry",
+        "LanguageInfo",
+        "MultilingualCorpus",
+        "PhoneticallySegmentedUtterance",
+        "PhoneticallyTranscribedUtterance",
+    ):
+        if not hasattr(speech_corpus, name) or not hasattr(
+            getattr(speech_corpus, name), "__class_getitem__"
+        ):
+            stub = type(name, (), {"__class_getitem__": classmethod(lambda cls, _item: cls)})
+            setattr(speech_corpus, name, stub)
+    return speech_corpus
+
+
+_dataset_processing_cache: types.ModuleType | None = None
+
+
+def load_reference_dataset_processing():
+    """Returns the reference's *real* ``dataset_processing.py`` module
+    (``PhonemeDataset``/``TranscribedDataset``/``PhoneticallySegmentedDataset``
+    and the batch containers).
+
+    The real module's only environment-blocked import is
+    ``allophant.preprocessing`` (torchaudio transforms), referenced purely as the
+    ``SamplesProcessor.feature_function`` annotation — stubbed. The speech-corpus
+    names are annotation-only as well (tests drive the datasets with duck-typed
+    corpora and precomputed features); ``allophant.phonetic_features`` is the
+    real reference module, so label indexing runs the reference's own code."""
+    global _dataset_processing_cache
+    if _dataset_processing_cache is not None:
+        return _dataset_processing_cache
+    load_reference_phonetics()
+
+    if "allophant.preprocessing" not in sys.modules:
+        preprocessing = types.ModuleType("allophant.preprocessing")
+        preprocessing.FeatureFunction = type("FeatureFunction", (), {})
+        sys.modules["allophant.preprocessing"] = preprocessing
+
+    _ensure_speech_corpus_stub()
+
+    _dataset_processing_cache = _load_reference_file(
+        "allophant_reference_dataset_processing", "dataset_processing.py"
+    )
+    return _dataset_processing_cache
 
 
 def load_reference_attribute_graph():
