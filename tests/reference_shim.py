@@ -194,6 +194,9 @@ def load_reference_phonetics():
 
     package = types.ModuleType("allophant")
     package.__path__ = [str(_REFERENCE_PACKAGE)]
+    # A really-imported package would carry this; consumers like
+    # ``version(allophant.__package__)`` (predictions.py:46) rely on it.
+    package.__package__ = "allophant"
     # Mirrors the reference package __init__ (allophant/__init__.py:1-5) without
     # executing files from the untrusted checkout at collection time.
     package.MAIN_LOGGER = logging.getLogger("allophant")
@@ -478,6 +481,95 @@ def load_reference_dataset_processing():
         "allophant_reference_dataset_processing", "dataset_processing.py"
     )
     return _dataset_processing_cache
+
+
+_predictions_cache: types.ModuleType | None = None
+
+
+def load_reference_predictions():
+    """Returns the reference's *real* ``predictions.py`` module (greedy CTC
+    decoder, prediction format constants, JSONL readers).
+
+    Environment-blocked imports, stubbed (none are the code under test):
+    ``torchaudio.models.decoder`` (flashlight beam decoder — ``CTCHypothesis``
+    becomes a field-compatible NamedTuple, ``ctc_decoder`` raises if reached)
+    and ``mashumaro`` (JSON mixin bases; the differential tests exercise the
+    decoder, not mashumaro serialization). ``importlib.metadata.version`` is
+    patched around the module exec because ``PredictionMetaData`` evaluates
+    ``version("allophant")`` at class-definition time and the reference package
+    is not installed in this image."""
+    global _predictions_cache
+    if _predictions_cache is not None:
+        return _predictions_cache
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+
+    if "torchaudio" not in sys.modules:
+        from typing import Any, List, NamedTuple
+
+        torchaudio = types.ModuleType("torchaudio")
+        models = types.ModuleType("torchaudio.models")
+        decoder_module = types.ModuleType("torchaudio.models.decoder")
+
+        class CTCHypothesis(NamedTuple):
+            # Field names/order per torchaudio.models.decoder.CTCHypothesis,
+            # which the reference constructs positionally (predictions.py:206).
+            tokens: Any
+            words: List[str]
+            score: Any
+            timesteps: Any
+
+        class CTCDecoder:  # annotation-only
+            pass
+
+        def ctc_decoder(*_args, **_kwargs):
+            raise RuntimeError("flashlight beam decoder is unavailable in this image")
+
+        decoder_module.CTCHypothesis = CTCHypothesis
+        decoder_module.CTCDecoder = CTCDecoder
+        decoder_module.ctc_decoder = ctc_decoder
+        models.decoder = decoder_module
+        torchaudio.models = models
+        sys.modules["torchaudio"] = torchaudio
+        sys.modules["torchaudio.models"] = models
+        sys.modules["torchaudio.models.decoder"] = decoder_module
+
+    if "mashumaro" not in sys.modules:
+        mashumaro = types.ModuleType("mashumaro")
+        mashumaro_types = types.ModuleType("mashumaro.types")
+
+        class SerializationStrategy:
+            def __init_subclass__(cls, **_kwargs):
+                pass
+
+        mashumaro_types.SerializationStrategy = SerializationStrategy
+        mixins = types.ModuleType("mashumaro.mixins")
+        mixins_json = types.ModuleType("mashumaro.mixins.json")
+
+        class DataClassJSONMixin:
+            pass
+
+        mixins_json.DataClassJSONMixin = DataClassJSONMixin
+        sys.modules["mashumaro"] = mashumaro
+        sys.modules["mashumaro.types"] = mashumaro_types
+        sys.modules["mashumaro.mixins"] = mixins
+        sys.modules["mashumaro.mixins.json"] = mixins_json
+
+    import importlib.metadata as importlib_metadata
+
+    original_version = importlib_metadata.version
+
+    def _patched_version(name):
+        if name == "allophant":
+            return "0.0-reference-checkout"
+        return original_version(name)
+
+    importlib_metadata.version = _patched_version
+    try:
+        _predictions_cache = _load_reference_file("allophant_reference_predictions", "predictions.py")
+    finally:
+        importlib_metadata.version = original_version
+    return _predictions_cache
 
 
 def load_reference_attribute_graph():
