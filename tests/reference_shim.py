@@ -216,6 +216,9 @@ def load_reference_phonetics():
     package_data.PHONEME_REPLACEMENTS_PATH = (
         _REFERENCE_PACKAGE / "package_data" / "espeakng_phoneme_replacements.json"
     )
+    package_data.DEFAULT_CONFIG_PATH = str(
+        _REFERENCE_PACKAGE / "package_data" / "default_config.toml"
+    )
     sys.modules["allophant.package_data"] = package_data
 
     if "panphon" not in sys.modules:
@@ -338,7 +341,15 @@ def _ensure_dataset_processing_stub() -> types.ModuleType:
 
         processing.Batch = Batch
 
-    for name in ("BatchType", "LabeledBatch", "PhonemeDataset", "RawLabeledBatch"):
+    for name in (
+        "BatchType",
+        "LabeledBatch",
+        "PhonemeDataset",
+        "RawLabeledBatch",
+        "SamplesProcessor",
+        "TranscribedDataset",
+        "PhoneticallySegmentedDataset",
+    ):
         if not hasattr(processing, name):
             # Subscriptable so the reference's generic annotations (e.g.
             # ``PhonemeDataset[Any, Any, T]``, batching.py:269) evaluate.
@@ -440,6 +451,7 @@ def _ensure_speech_corpus_stub() -> types.ModuleType:
         "IndexedEntry",
         "LanguageInfo",
         "MultilingualCorpus",
+        "MultilingualSplits",
         "PhoneticallySegmentedUtterance",
         "PhoneticallyTranscribedUtterance",
     ):
@@ -547,7 +559,22 @@ def load_reference_predictions():
         mixins_json = types.ModuleType("mashumaro.mixins.json")
 
         class DataClassJSONMixin:
-            pass
+            """Functional JSON plumbing (the real mashumaro generates this); the
+            reference's prediction dataclasses are flat enough that plain
+            ``cls(**json.loads(...))`` reproduces the real decoder for the types
+            the differential tests read (``UtterancePrediction``)."""
+
+            @classmethod
+            def from_json(cls, data):
+                import json as _json
+
+                return cls(**_json.loads(data))
+
+            def to_json(self):
+                import dataclasses as _dataclasses
+                import json as _json
+
+                return _json.dumps(_dataclasses.asdict(self))
 
         mixins_json.DataClassJSONMixin = DataClassJSONMixin
         sys.modules["mashumaro"] = mashumaro
@@ -614,6 +641,128 @@ def load_reference_network():
     acoustic_model = _importlib.import_module("allophant.network.acoustic_model")
     _network_cache = (acoustic_model, frontend, attribute_graph)
     return _network_cache
+
+
+_evaluation_cache: types.ModuleType | None = None
+
+
+def load_reference_evaluation():
+    """Returns the reference's *real* ``evaluation.py`` module
+    (``EvaluationResults``/``MultilingualEvaluationResults`` — the containers and
+    formatting behind every published PER/AER table).
+
+    ``package_version`` evaluates ``version("allophant")`` at class-definition
+    time; the reference package is not installed, so ``importlib.metadata.version``
+    is patched around the import (same treatment as ``load_reference_predictions``).
+    The module registers naturally as ``allophant.evaluation`` so the reference's
+    ``run.py`` reuses it."""
+    global _evaluation_cache
+    if _evaluation_cache is not None:
+        return _evaluation_cache
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+
+    import importlib.metadata as importlib_metadata
+
+    original_version = importlib_metadata.version
+
+    def _patched_version(name):
+        if name == "allophant":
+            return "0.0-reference-checkout"
+        return original_version(name)
+
+    importlib_metadata.version = _patched_version
+    try:
+        _evaluation_cache = importlib.import_module("allophant.evaluation")
+    finally:
+        importlib_metadata.version = original_version
+    return _evaluation_cache
+
+
+_error_rates_cache: types.ModuleType | None = None
+
+
+def load_reference_error_rates():
+    """Returns the reference's *real* ``get_attribute_error_rates.py`` module
+    (the per-attribute/AER aggregation script producing the published tables)."""
+    global _error_rates_cache
+    if _error_rates_cache is not None:
+        return _error_rates_cache
+    load_reference_evaluation()
+    _error_rates_cache = _load_reference_file(
+        "allophant_reference_error_rates", "get_attribute_error_rates.py"
+    )
+    return _error_rates_cache
+
+
+_run_cache: types.ModuleType | None = None
+
+
+def load_reference_run():
+    """Returns the reference's *real* ``run.py`` module — specifically for its
+    evaluation pipeline (``EvaluationProcessor``, ``_compute_edit_statistics``,
+    ``evaluate``, ``_make_source_maps``/``_missing_mappings``), the exact code
+    behind the published PER/AER numbers (run.py:280-499).
+
+    The train/predict halves of ``run.py`` pull in the whole torch stack; their
+    imports are satisfied so the module executes, but only the evaluation paths
+    are code under test. Environment-blocked imports, stubbed (annotation/other-
+    subcommand use only): ``allophant.estimator`` (torchaudio),
+    ``allophant.datasets.corpus_loading`` (torchaudio), the dataset-processing/
+    speech-corpus names (extended stubs), ``Batcher`` and ``toml``. torch,
+    tensorboard and tqdm are real in this image; ``allophant.predictions`` and
+    ``allophant.evaluation`` are the reference's own files loaded via their
+    dedicated shims."""
+    global _run_cache
+    if _run_cache is not None:
+        return _run_cache
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+    load_reference_evaluation()
+
+    predictions = load_reference_predictions()
+    sys.modules.setdefault("allophant.predictions", predictions)
+
+    _ensure_dataset_processing_stub()
+    _ensure_speech_corpus_stub()
+
+    if "allophant.preprocessing" not in sys.modules:
+        preprocessing = types.ModuleType("allophant.preprocessing")
+        preprocessing.FeatureFunction = type("FeatureFunction", (), {})
+        sys.modules["allophant.preprocessing"] = preprocessing
+
+    if "toml" not in sys.modules:
+        sys.modules["toml"] = types.ModuleType("toml")
+
+    if "allophant.datasets.corpus_loading" not in sys.modules:
+        corpus_loading = types.ModuleType("allophant.datasets.corpus_loading")
+        sys.modules["allophant.datasets.corpus_loading"] = corpus_loading
+        datasets_package = sys.modules["allophant.datasets"]
+        datasets_package.corpus_loading = corpus_loading
+
+    if "allophant.estimator" not in sys.modules:
+        estimator = types.ModuleType("allophant.estimator")
+        for name in (
+            "EpochPosition",
+            "Estimator",
+            "DatasetManager",
+            "Checkpoint",
+            "TrainDevFeatures",
+            "TrainDevLengths",
+        ):
+            setattr(
+                estimator,
+                name,
+                type(name, (), {"__class_getitem__": classmethod(lambda cls, _item: cls)}),
+            )
+        sys.modules["allophant.estimator"] = estimator
+
+    batching = sys.modules.get("allophant.batching")
+    if batching is not None and not hasattr(batching, "Batcher"):
+        batching.Batcher = type("Batcher", (), {})
+
+    _run_cache = _load_reference_file("allophant_reference_run", "run.py")
+    return _run_cache
 
 
 class _PandasReadCsvCompat(types.ModuleType):
