@@ -223,6 +223,49 @@ def test_edit_statistics_match_reference(
             ), f"{language}/{name} ({scorer})"
 
 
+@pytest.mark.parametrize(
+    "map_phonemes,split_complex", [(True, False), (False, True)], ids=["remap", "split"]
+)
+def test_edits_match_reference(predictions_file, ref_modules, map_phonemes, split_complex):
+    """The reference's ``_compute_edits`` (run.py:502-519, the ``edits``
+    subcommand's core: top-beam selection + remap + per-classifier alignment
+    dumps) against our ``compute_edits`` on the same prediction file."""
+    ref_run, ref_predictions, ref_features = ref_modules
+
+    arguments = Namespace(
+        no_remap=not map_phonemes,
+        fix_unicode=False,
+        split_complex=split_complex,
+        no_progress=True,
+    )
+    reader_class = _reference_reader_class(ref_predictions, ref_features)
+    with reader_class(predictions_file, gzip=False) as reader:
+        reference_edits = list(ref_run._compute_edits(arguments, reader))
+
+    from allophant_tpu.evaluation_runner import compute_edits
+
+    with PredictionReader(predictions_file, None) as reader:
+        our_edits = list(
+            compute_edits(reader, map_phonemes=map_phonemes, split_complex=split_complex)
+        )
+
+    assert len(our_edits) == len(reference_edits)
+    for ours, reference in zip(our_edits, reference_edits):
+        assert ours.language == reference.language
+        assert ours.utterance_id == reference.utterance_id
+        assert ours.expected == reference.expected
+        # Action enums are distinct classes across the packages; compare by value.
+        normalized_ours = {
+            name: [(action.value, expected, actual) for action, expected, actual in operations]
+            for name, operations in ours.edit_operations.items()
+        }
+        normalized_reference = {
+            name: [(action.value, expected, actual) for action, expected, actual in operations]
+            for name, operations in reference.edit_operations.items()
+        }
+        assert normalized_ours == normalized_reference
+
+
 def test_evaluate_text_report_matches_reference(
     predictions_file, ref_modules, tmp_path, monkeypatch
 ):
