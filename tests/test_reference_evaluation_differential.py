@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import sys
 from argparse import Namespace
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -336,12 +337,18 @@ def _parse_error_rate_report(lines, languages, classifiers):
         parsed[(category, "average")] = numeric_rows[position][1]
         position += 1
 
+    attributes = [name for name in classifiers if name not in ipa_categories]
+    if not attributes:
+        # Baseline models: no attribute classifiers, both tools print a
+        # "No Attribute Error Rates" notice and stop.
+        assert position == len(numeric_rows)
+        assert any("No Attribute Error Rates" in line for line in lines)
+        return parsed
     for language in languages:
         row_name, value = numeric_rows[position]
         assert row_name == language
         parsed[("attributes", language)] = value
         position += 1
-    attributes = [name for name in classifiers if name not in ipa_categories]
     for attribute in attributes:
         row_name, value = numeric_rows[position]
         assert row_name == attribute
@@ -351,6 +358,74 @@ def _parse_error_rate_report(lines, languages, classifiers):
     parsed[("attributes", "average")] = numeric_rows[position][1]
     assert position + 1 == len(numeric_rows)
     return parsed
+
+
+def _typed_results_loader(ref_evaluation, results_data):
+    """The reference loads results through marshmallow schemas (not importable
+    here); hands the (plumbing-only) loader its own dataclasses directly.
+    Fresh objects per call: ``get_attribute_error_rates.main`` mutates them."""
+
+    def _load(cls, _file):
+        return cls(
+            results_data["evaluation_arguments"],
+            {
+                language: ref_evaluation.EvaluationResults(
+                    list(entry["properties"]), dict(entry["error_rates"]), {}
+                )
+                for language, entry in results_data["results"].items()
+            },
+            results_data["package_version"],
+        )
+
+    return classmethod(_load)
+
+
+_PUBLISHED_RESULT_FILES = (
+    sorted(
+        path.name for path in Path("/root/reference/interspeech_results").glob("*.json")
+    )
+    if reference_available()
+    else []
+)
+
+
+@pytest.mark.skipif(not _PUBLISHED_RESULT_FILES, reason="interspeech results not mounted")
+@pytest.mark.parametrize("result_file", _PUBLISHED_RESULT_FILES)
+def test_published_tables_match_reference(result_file, capsys, monkeypatch):
+    """Both tools over the reference's actual released result files
+    (`interspeech_results/*.json` — the data behind the paper's headline PER/AER
+    table): `get_attribute_error_rates` and `allophant-error-rates` must print
+    identical per-language PERs, per-language/per-attribute macro AERs and the
+    overall averages for every released checkpoint x corpus."""
+    ref_error_rates = load_reference_error_rates()
+    ref_evaluation = sys.modules["allophant.evaluation"]
+
+    results_path = f"/root/reference/interspeech_results/{result_file}"
+    with open(results_path, "r", encoding="utf-8") as file:
+        results_data = json.load(file)
+
+    languages = [name for name in results_data["results"] if name != "total"]
+    # Report ordering follows the error-rate dict of the first language (what
+    # both tools iterate), not the `properties` list.
+    classifiers = list(results_data["results"][languages[0]]["error_rates"])
+
+    monkeypatch.setattr(
+        ref_evaluation.MultilingualEvaluationResults,
+        "load",
+        _typed_results_loader(ref_evaluation, results_data),
+    )
+
+    ref_error_rates.main([results_path])
+    reference_lines = capsys.readouterr().out.splitlines()
+    error_rates_cli.main([results_path])
+    our_lines = capsys.readouterr().out.splitlines()
+
+    reference_parsed = _parse_error_rate_report(reference_lines, languages, classifiers)
+    our_parsed = _parse_error_rate_report(our_lines, languages, classifiers)
+
+    assert set(our_parsed) == set(reference_parsed)
+    for key, reference_value in reference_parsed.items():
+        assert our_parsed[key] == pytest.approx(reference_value, rel=1e-9), key
 
 
 def test_error_rate_report_matches_reference(
@@ -372,24 +447,10 @@ def test_error_rate_report_matches_reference(
     languages = [name for name in results_data["results"] if name != "total"]
     classifiers = results_data["results"]["total"]["properties"]
 
-    # The reference loads results through marshmallow schemas (not importable
-    # here); hand the (plumbing-only) loader its own dataclasses directly.
-    def _typed_results_load(cls, _file):
-        return cls(
-            results_data["evaluation_arguments"],
-            {
-                language: ref_evaluation.EvaluationResults(
-                    list(entry["properties"]), dict(entry["error_rates"]), {}
-                )
-                for language, entry in results_data["results"].items()
-            },
-            results_data["package_version"],
-        )
-
     monkeypatch.setattr(
         ref_evaluation.MultilingualEvaluationResults,
         "load",
-        classmethod(_typed_results_load),
+        _typed_results_loader(ref_evaluation, results_data),
     )
 
     ref_error_rates.main([results_path])
