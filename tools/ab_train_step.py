@@ -100,13 +100,42 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     variants = {}
+    audio_per_step = {}
     if axis == "remat":
         for name, save_names in [
             ("remat-base", REMAT_SAVE_NAMES_BASE),
             ("remat-extended", REMAT_SAVE_NAMES_EXTENDED),
+            # Save-nothing policy: recompute the whole layer in backward. Trades
+            # ~1/3 more matmul FLOPs for not streaming the 8·D-per-token saved
+            # set through HBM — the right direction if the backward is
+            # bandwidth-bound rather than MXU-bound.
+            ("remat-minimal", ()),
         ]:
             variants[name] = make_runner(2, 8, seconds, rng, save_names)
             print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
+    elif axis == "remat24":
+        # Same remat comparison at the reference-recipe microbatch (batch 24 x
+        # 10 s, the HBM sweet spot) where saved-activation traffic is 3x the
+        # batch-8 level. Two batch-24 variants do not fit HBM together, so this
+        # axis times sequentially in one process, releasing each variant before
+        # building the next (still avoids the ±20 ms inter-process session
+        # variance; only slow within-process drift is uncontrolled).
+        for name, save_names in [
+            ("remat24-base", REMAT_SAVE_NAMES_BASE),
+            ("remat24-minimal", ()),
+        ]:
+            run = make_runner(1, 24, seconds, rng, save_names)
+            print(f"[{name}] compiled: {run():.1f}s first step", flush=True)
+            samples_list = [run() for _ in range(rounds)]
+            del run
+            jax.clear_caches()
+            median = statistics.median(samples_list)
+            print(
+                f"[{name}] median {median * 1e3:.0f} ms (best {min(samples_list) * 1e3:.0f},"
+                f" {24 * seconds / median:.0f}x real-time) over {rounds} sequential rounds",
+                flush=True,
+            )
+        return
     elif axis == "unroll":
         import allophant_tpu.ops.ctc as ctc_module
 
@@ -137,17 +166,18 @@ def main() -> None:
             variants[name] = make_runner(2, 8, seconds, rng, wav2vec2_architecture=architecture)
             print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
     else:
-        raise SystemExit(f"unknown axis {axis!r} (remat | unroll | shape)")
+        raise SystemExit(f"unknown axis {axis!r} (remat | remat24 | unroll | shape | dropout)")
 
     times = {name: [] for name in variants}
     for _ in range(rounds):
         for name, run in variants.items():
             times[name].append(run())
 
-    audio_seconds = 160.0 * seconds / 10.0  # every axis uses 160 audio-s effective
+    default_audio_seconds = 160.0 * seconds / 10.0  # the acc 2 x batch 8 axes
     for name, samples_list in times.items():
         median = statistics.median(samples_list)
         best = min(samples_list)
+        audio_seconds = audio_per_step.get(name, default_audio_seconds)
         print(
             f"[{name}] median {median * 1e3:.0f} ms (best {best * 1e3:.0f},"
             f" {audio_seconds / median:.0f}x real-time) over {rounds} interleaved rounds",
