@@ -303,6 +303,29 @@ def _ensure_marshmallow_dataclass_stub() -> types.ModuleType:
     return md
 
 
+def _ensure_toml_stub() -> types.ModuleType:
+    """Installs a ``toml`` stub backed by stdlib ``tomllib`` (the reference uses
+    only ``toml.load`` on the paths under test, config.py / run.py)."""
+    toml_module = sys.modules.get("toml")
+    if toml_module is None:
+        toml_module = types.ModuleType("toml")
+        sys.modules["toml"] = toml_module
+
+    if not hasattr(toml_module, "load"):
+
+        def _toml_load(file):
+            import tomllib
+
+            if hasattr(file, "read"):
+                return tomllib.loads(file.read())
+            with open(file, "rb") as handle:
+                return tomllib.load(handle)
+
+        toml_module.load = _toml_load
+
+    return toml_module
+
+
 def _load_reference_file(module_name: str, relative_path: str):
     """Executes one reference source file under an out-of-package module name.
 
@@ -384,8 +407,7 @@ def load_reference_config():
     load_reference_phonetics()
     _ensure_marshmallow_dataclass_stub()
 
-    if "toml" not in sys.modules:
-        sys.modules["toml"] = types.ModuleType("toml")
+    _ensure_toml_stub()
 
     if "marshmallow_oneofschema" not in sys.modules:
         import marshmallow
@@ -731,8 +753,7 @@ def load_reference_run():
         preprocessing.FeatureFunction = type("FeatureFunction", (), {})
         sys.modules["allophant.preprocessing"] = preprocessing
 
-    if "toml" not in sys.modules:
-        sys.modules["toml"] = types.ModuleType("toml")
+    _ensure_toml_stub()
 
     if "allophant.datasets.corpus_loading" not in sys.modules:
         corpus_loading = types.ModuleType("allophant.datasets.corpus_loading")
