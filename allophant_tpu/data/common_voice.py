@@ -144,15 +144,23 @@ class CommonVoiceCorpusMeta:
     audio_format: str = "mp3"  # CV releases ship mp3; converted corpora may use wav
 
     def to_json(self) -> Dict[str, Any]:
-        return {
+        data = {
             "corpus_name": self.corpus_name,
             "phoneme_sources": self.phoneme_sources,
             "feature_set": self.feature_set,
             "limits": self.limits,
             "utterance_counts": self.utterance_counts,
             "package_version": self.package_version,
-            "audio_format": self.audio_format,
         }
+        # "audio_format" is this framework's extension (WAV-converted corpora);
+        # the reference's CommonVoiceCorpusMeta marshmallow schema raises on
+        # unknown keys at load (marshmallow default unknown=RAISE; reference
+        # mozilla_common_voice.py:165-175 declares no Meta). Omit the key for
+        # the mp3 default so stock-format corpora stay reference-portable;
+        # non-mp3 corpora are a this-framework-only feature either way.
+        if self.audio_format != "mp3":
+            data["audio_format"] = self.audio_format
+        return data
 
     @classmethod
     def from_json(cls, data: Dict[str, Any]) -> "CommonVoiceCorpusMeta":

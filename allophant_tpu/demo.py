@@ -227,6 +227,8 @@ def build_flagship(
     remat: bool = False,
     num_segments: int | None = None,
     remat_save_names: tuple | None = None,
+    head_dtype=None,
+    f32_matmul_precision: str = "highest",
 ):
     """Builds the flagship model (XLS-R 300m encoder unless overridden) over the demo
     table. Returns (config, indexer, built_model)."""
@@ -276,6 +278,8 @@ def build_flagship(
         wav2vec2_architecture=wav2vec2_architecture,
         dtype=dtype,
         remat=remat,
+        head_dtype=head_dtype,
+        f32_matmul_precision=f32_matmul_precision,
         **kwargs,
     )
     return config, indexer, built

@@ -99,6 +99,15 @@ class AllophantModel(nn.Module):
     # Whole-run-frozen prefix of the wav2vec2 chain (see Wav2Vec2Model.frozen_prefix);
     # derived from the freeze flags by build_model, ignored by other acoustic models.
     frozen_prefix: int = 0
+    # Compute dtype of the classifier head (projection); None = same as ``dtype``.
+    # Mixed serving precision ("mixed" in Estimator.restore) sets dtype=bf16 with
+    # head_dtype=f32: the encoder matmuls ride the fast MXU path while the
+    # decision-relevant tail — classifier logits, composition/allophone matmuls,
+    # log_softmax — runs in full f32 (hidden states are cast once at the boundary).
+    head_dtype: Optional[jnp.dtype] = None
+    # f32 matmul pass count (see wav2vec2.matmul_precision_scope); applies to
+    # whichever of encoder/head computes in f32.
+    f32_matmul_precision: str = "highest"
 
     def setup(self):
         if isinstance(self.acoustic_config, Wav2Vec2Architecture):
@@ -109,6 +118,7 @@ class AllophantModel(nn.Module):
                 remat_save_names=self.remat_save_names,
                 frozen_prefix=self.frozen_prefix,
                 collect_all=needs_intermediate_taps(self.plan),
+                f32_matmul_precision=self.f32_matmul_precision,
             )
         elif isinstance(self.acoustic_config, TransformerAcousticModelConfig):
             self.acoustic_model = TransformerAcousticModel(
@@ -116,7 +126,11 @@ class AllophantModel(nn.Module):
             )
         else:
             raise ValueError(f"Unsupported acoustic model config: {type(self.acoustic_config)}")
-        self.projection = HierarchicalProjection(self.plan, self.dtype)
+        self.projection = HierarchicalProjection(self.plan, self.resolved_head_dtype)
+
+    @property
+    def resolved_head_dtype(self) -> jnp.dtype:
+        return self.dtype if self.head_dtype is None else self.head_dtype
 
     def __call__(
         self,
@@ -129,8 +143,14 @@ class AllophantModel(nn.Module):
     ) -> Predictions:
         # f32 models trace at Precision.HIGHEST (see matmul_precision_scope);
         # the nested scope in Wav2Vec2Model covers the standalone-encoder path.
-        with matmul_precision_scope(self.dtype):
+        # With a distinct head dtype the encoder and the projection each get the
+        # precision scope their own dtype asks for.
+        head_dtype = self.resolved_head_dtype
+        with matmul_precision_scope(self.dtype, self.f32_matmul_precision):
             hidden_states, frame_lengths = self.acoustic_model(audio_features, lengths, deterministic)
+        if head_dtype != self.dtype:
+            hidden_states = [states.astype(head_dtype) for states in hidden_states]
+        with matmul_precision_scope(head_dtype, self.f32_matmul_precision):
             outputs = self.projection(
                 hidden_states, frame_lengths, language_ids, target_feature_indices, predict, deterministic
             )
@@ -211,6 +231,8 @@ def build_model(
     dtype: jnp.dtype = jnp.float32,
     remat: bool = False,
     remat_save_names: tuple = REMAT_SAVE_NAMES_BASE,
+    head_dtype: Optional[jnp.dtype] = None,
+    f32_matmul_precision: str = "highest",
 ) -> BuiltModel:
     """Builds the Allophant model from an architecture config (reference :988-1025).
 
@@ -263,6 +285,8 @@ def build_model(
         remat,
         remat_save_names=remat_save_names,
         frozen_prefix=whole_run_frozen_prefix(layer_config),
+        head_dtype=head_dtype,
+        f32_matmul_precision=f32_matmul_precision,
     )
     return BuiltModel(model, static_data, d_model, output_size)
 

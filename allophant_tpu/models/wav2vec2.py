@@ -38,7 +38,7 @@ from allophant_tpu.ops import masking
 from allophant_tpu.ops.activations import fast_gelu
 
 
-def matmul_precision_scope(dtype):
+def matmul_precision_scope(dtype, f32_precision: str = "highest"):
     """Trace-time matmul/conv precision for the given compute dtype.
 
     XLA's default matmul precision truncates f32 operands (bf16 passes on the
@@ -46,11 +46,14 @@ def matmul_precision_scope(dtype):
     ground truth, a 24-layer f32 encoder drifted ~8000x more than torch's own
     f32 run until the first conv alone contributed 1.2e-2 of error. Models that
     request f32 therefore mean *full* f32 and trace under
-    ``jax.default_matmul_precision("highest")``; bf16 serving keeps the fast
-    default path (where input rounding dwarfs pass-count effects anyway).
+    ``jax.default_matmul_precision("highest")`` unless the caller explicitly
+    lowers ``f32_precision`` (e.g. ``"high"``, the 3-pass bf16 lowering — a
+    measured speed/accuracy trade, see ``tools/parity_check.py decisions``);
+    bf16 serving keeps the fast default path (where input rounding dwarfs
+    pass-count effects anyway).
     """
     if dtype == jnp.float32:
-        return jax.default_matmul_precision("highest")
+        return jax.default_matmul_precision(f32_precision)
     return contextlib.nullcontext()
 
 
@@ -505,10 +508,12 @@ class Wav2Vec2Model(nn.Module):
     # See Wav2Vec2Encoder.collect_all: False returns only the final hidden
     # state, skipping the stacked per-layer buffer.
     collect_all: bool = True
+    # f32 matmul pass count (see matmul_precision_scope); ignored for bf16.
+    f32_matmul_precision: str = "highest"
 
     @nn.compact
     def __call__(self, audio, lengths, deterministic: bool = True):
-        with matmul_precision_scope(self.dtype):
+        with matmul_precision_scope(self.dtype, self.f32_matmul_precision):
             return self._forward(audio, lengths, deterministic)
 
     def _forward(self, audio, lengths, deterministic: bool):

@@ -115,14 +115,17 @@ def fused_attention(
         block_k_dq=block_k,
         block_q_dq=block_q,
     )
-    out = flash_attention(
-        q,
-        k,
-        v,
-        segment_ids=SegmentIds(segments, segments),
-        sm_scale=sm_scale,
-        block_sizes=block_sizes,
-    )
+    from allophant_tpu.ops.oneshot_attention import _kernel_precision_scope
+
+    with _kernel_precision_scope(q.dtype):
+        out = flash_attention(
+            q,
+            k,
+            v,
+            segment_ids=SegmentIds(segments, segments),
+            sm_scale=sm_scale,
+            block_sizes=block_sizes,
+        )
     if pad:
         out = out[:, :, :time]
     return jnp.transpose(out, (0, 2, 1, 3))

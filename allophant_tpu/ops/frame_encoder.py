@@ -163,20 +163,28 @@ def _pallas_frame_conv(audio, kernel, bias, ln_scale, ln_bias, eps, out_dtype):
     scale_col = ln_scale.astype(jnp.float32)[:, None]
     ln_bias_col = ln_bias.astype(jnp.float32)[:, None]
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((batch, padded_frames, channels), out_dtype),
-        grid=(batch, grid_t),
-        in_specs=[
-            pl.BlockSpec((1, 10, _TILE_FRAMES), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, 10), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, _TILE_FRAMES, channels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=_use_interpret(),
-    )(streams, w_t, bias_col, scale_col, ln_bias_col)
+    # Precision pinned to the model dtype's scope (see
+    # oneshot_attention._kernel_precision_scope): Mosaic rejects the ambient
+    # 3-pass HIGH the float32_high serving preset would otherwise leak in here.
+    # Keyed on out_dtype to reproduce the pre-preset trace-time behavior
+    # exactly (f32 models traced this dot under HIGHEST, bf16 under DEFAULT).
+    from allophant_tpu.ops.oneshot_attention import _kernel_precision_scope
+
+    with _kernel_precision_scope(out_dtype):
+        out = pl.pallas_call(
+            functools.partial(_kernel, eps=eps),
+            out_shape=jax.ShapeDtypeStruct((batch, padded_frames, channels), out_dtype),
+            grid=(batch, grid_t),
+            in_specs=[
+                pl.BlockSpec((1, 10, _TILE_FRAMES), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((channels, 10), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((channels, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, _TILE_FRAMES, channels), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=_use_interpret(),
+        )(streams, w_t, bias_col, scale_col, ln_bias_col)
     return out[:, :num_frames]

@@ -74,6 +74,19 @@ _QBLOCK_CANDIDATES = ((4, 320), (4, 256), (2, 320), (2, 256), (2, 128), (1, 128)
 _QBLOCK_VMEM_BUDGET = 12_500_000
 
 
+def _kernel_precision_scope(dtype):
+    """Trace-time matmul precision pin for kernel invocations. Mosaic lowers
+    DEFAULT and HIGHEST dot precisions but not the 3-pass HIGH that an ambient
+    ``jax.default_matmul_precision("high")`` (the ``float32_high`` serving
+    preset) would request, so kernels pin their own precision instead of
+    inheriting the caller's scope: full-precision dots for f32 operands, the
+    native MXU path for bf16 — exactly the behavior the f32/bf16 model scopes
+    produced before the preset existed."""
+    return jax.default_matmul_precision(
+        "highest" if jnp.dtype(dtype) == jnp.float32 else "default"
+    )
+
+
 def plan_oneshot(
     heads: int, head_dim: int, padded_time: int, item_bytes: int, strict_lanes: bool = True
 ):
@@ -350,16 +363,17 @@ def _oneshot_dropout_backward(
         rate=rate,
     )
     shape = jax.ShapeDtypeStruct(query.shape, query.dtype)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(batch, heads // heads_per_block),
-            in_specs=[bias_spec, tile_spec, tile_spec, tile_spec, tile_spec],
-            out_specs=[tile_spec, tile_spec, tile_spec],
-        ),
-        out_shape=[shape, shape, shape],
-    )(seeds, key_bias, query, key, value, cotangent)
+    with _kernel_precision_scope(query.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(batch, heads // heads_per_block),
+                in_specs=[bias_spec, tile_spec, tile_spec, tile_spec, tile_spec],
+                out_specs=[tile_spec, tile_spec, tile_spec],
+            ),
+            out_shape=[shape, shape, shape],
+        )(seeds, key_bias, query, key, value, cotangent)
 
 
 def _attention_kernel(bias_ref, q_ref, k_ref, v_ref, out_ref, *, heads, head_dim, sm_scale):
@@ -504,14 +518,15 @@ def _oneshot_forward(query, key, value, key_bias, sm_scale, heads, interpret=Fal
         )
         in_specs = [bias_spec, q_spec, kv_spec, kv_spec]
         out_spec = q_spec
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
-        interpret=interpret,
-    )(key_bias, query, key, value)
+    with _kernel_precision_scope(query.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
+            interpret=interpret,
+        )(key_bias, query, key, value)
 
 
 def _oneshot_dropout_forward(query, key, value, key_bias, seeds, sm_scale, heads, rate):
@@ -541,16 +556,17 @@ def _oneshot_dropout_forward(query, key, value, key_bias, seeds, sm_scale, heads
         sm_scale=np.float32(sm_scale),
         rate=rate,
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(batch,),
-            in_specs=[bias_spec, qkv_spec, qkv_spec, qkv_spec],
-            out_specs=qkv_spec,
-        ),
-        out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
-    )(seeds, key_bias, query, key, value)
+    with _kernel_precision_scope(query.dtype):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(batch,),
+                in_specs=[bias_spec, qkv_spec, qkv_spec, qkv_spec],
+                out_specs=qkv_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct(query.shape, query.dtype),
+        )(seeds, key_bias, query, key, value)
 
 
 def _reference_bthd_dropout(query, key, value, key_bias, keep_mask, sm_scale, heads, rate):
@@ -670,7 +686,10 @@ def _flash_bthd(query, key, value, key_bias, sm_scale, heads):
     # The additive key bias is 0 (valid) / NEG_INF (padded); flash expresses the
     # same mask as mismatched segment ids.
     segments = jnp.where(key_bias > NEG_INF / 2, 1, 2).astype(jnp.int32)
-    out = flash_attention(q, k, v, segment_ids=SegmentIds(segments, segments), sm_scale=sm_scale)
+    with _kernel_precision_scope(query.dtype):
+        out = flash_attention(
+            q, k, v, segment_ids=SegmentIds(segments, segments), sm_scale=sm_scale
+        )
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(batch, time, model_dim)
 
 

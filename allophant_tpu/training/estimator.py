@@ -116,6 +116,30 @@ def infer_wav2vec2_architecture(model_state: Dict[str, np.ndarray]) -> Wav2Vec2A
     return base
 
 
+#: Serving precision presets: name -> (dtype, head_dtype, f32_matmul_precision).
+#: "float32" is the shipped default (full f32, HIGHEST matmuls — matches the
+#: reference's f32 inference, acoustic_model.py:1027-1052). "mixed" runs the
+#: encoder in bf16 with the decision-relevant tail (classifier logits,
+#: composition/allophone matmuls, log_softmax) in f32. "float32_high" keeps f32
+#: activations but lowers matmuls to the 3-pass bf16 lowering. Decision-level
+#: safety of the fast presets is measured by ``tools/parity_check.py decisions``.
+PRECISION_PRESETS = {
+    "float32": (jnp.float32, None, "highest"),
+    "float32_high": (jnp.float32, None, "high"),
+    "mixed": (jnp.bfloat16, jnp.float32, "highest"),
+    "bfloat16": (jnp.bfloat16, None, "highest"),
+}
+
+
+def resolve_precision(precision: str):
+    try:
+        return PRECISION_PRESETS[precision]
+    except KeyError:
+        raise ValueError(
+            f"Unknown precision preset {precision!r} (expected one of {sorted(PRECISION_PRESETS)})"
+        ) from None
+
+
 @dataclasses.dataclass
 class Estimator:
     """Model + variables + config wrapper supporting prediction, checkpointing and
@@ -177,7 +201,12 @@ class Estimator:
         seed: int = 0,
         dtype=jnp.float32,
         remat: bool = False,
+        precision: Optional[str] = None,
     ) -> "Estimator":
+        head_dtype = None
+        f32_matmul_precision = "highest"
+        if precision is not None:
+            dtype, head_dtype, f32_matmul_precision = resolve_precision(precision)
         built = build_model(
             config.nn,
             feature_size,
@@ -187,6 +216,8 @@ class Estimator:
             wav2vec2_architecture,
             dtype=dtype,
             remat=remat,
+            head_dtype=head_dtype,
+            f32_matmul_precision=f32_matmul_precision,
         )
         variables = built.init(jax.random.PRNGKey(seed))
         if load_pretrained_weights and isinstance(config.nn.acoustic_model, Wav2Vec2PretrainedConfig):
@@ -339,11 +370,16 @@ class Estimator:
         dtype=jnp.float32,
         wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
         remat: bool = False,
+        precision: Optional[str] = None,
         **_kwargs,
     ) -> Tuple["Estimator", PhoneticAttributeIndexer]:
         """Restores from a native or reference checkpoint (path, HF model id from the
         local cache, or parsed ``Checkpoint``); returns the estimator and the phonetic
         indexer rebuilt from the embedded state (reference estimator.py:1085-1126).
+
+        ``precision`` selects a serving preset (see :data:`PRECISION_PRESETS`);
+        the default is full f32 with HIGHEST matmuls, matching the reference's
+        f32 inference.
 
         Reference-API compatibility: the second positional argument may be a torch
         device string ("cpu"/"cuda"/...) — JAX manages placement, so it is accepted
@@ -373,6 +409,7 @@ class Estimator:
             load_pretrained_weights=False,
             dtype=dtype,
             remat=remat,
+            precision=precision,
         )
         if checkpoint.variables is not None:
             # Native checkpoint: variables restored wholesale onto the initialized

@@ -251,6 +251,104 @@ def load_reference_phonetics():
     return _cache
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub module with a proper (loader-less) ModuleSpec: transformers'
+    ``_is_package_available`` probes ``importlib.util.find_spec`` for several of
+    the packages stubbed here (phonemizer, torchaudio, ...), which raises
+    ``ValueError`` on a sys.modules entry whose ``__spec__`` is None."""
+    import importlib.machinery
+
+    module = types.ModuleType(name)
+    module.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return module
+
+
+def _is_raw_field(field) -> bool:
+    """True for fields declared via ``utils.schema_field(Raw(...))``."""
+    import marshmallow
+
+    return isinstance(field.metadata.get("marshmallow_field"), marshmallow.fields.Raw)
+
+
+def _to_builtin(value):
+    """Recursively converts dataclasses/enums to plain builtins — the observable
+    dump semantics the real marshmallow-dataclass and mashumaro both produce for
+    the reference's corpus/checkpoint types (field-name keyed maps, enum
+    values)."""
+    import dataclasses as _dataclasses
+    import enum as _enum
+
+    if _dataclasses.is_dataclass(value) and not isinstance(value, type):
+        return {
+            field.name: (
+                getattr(value, field.name)
+                if _is_raw_field(field)
+                else _to_builtin(getattr(value, field.name))
+            )
+            for field in _dataclasses.fields(value)
+        }
+    if isinstance(value, _enum.Enum):
+        return value.value
+    if isinstance(value, (list, tuple)):
+        return [_to_builtin(item) for item in value]
+    if isinstance(value, dict):
+        return {key: _to_builtin(item) for key, item in value.items()}
+    return value
+
+
+def _build_from_hint(hint, value):
+    """Reconstructs a value of the hinted type from builtins (inverse of
+    ``_to_builtin`` for the hint shapes the reference types use: Optional/Union,
+    List, Dict, nested dataclasses, Enums; everything else passes through)."""
+    import dataclasses as _dataclasses
+    import enum as _enum
+    import typing as _typing
+
+    if value is None or hint is None:
+        return value
+    origin = _typing.get_origin(hint)
+    args = _typing.get_args(hint)
+    if origin is _typing.Union:
+        for arg in args:
+            if arg is type(None):
+                continue
+            try:
+                return _build_from_hint(arg, value)
+            except (TypeError, ValueError, KeyError):
+                continue
+        return value
+    if origin in (list, tuple):
+        item_hint = args[0] if args else None
+        return [_build_from_hint(item_hint, item) for item in value]
+    if origin is dict:
+        value_hint = args[1] if len(args) == 2 else None
+        return {key: _build_from_hint(value_hint, item) for key, item in value.items()}
+    if isinstance(hint, type) and _dataclasses.is_dataclass(hint):
+        return _instantiate_from_hints(hint, value)
+    if isinstance(hint, type) and issubclass(hint, _enum.Enum):
+        return hint(value)
+    return value
+
+
+def _instantiate_from_hints(cls, data):
+    """Builds a dataclass instance from a builtin dict using its type hints;
+    Raw-metadata fields pass through untouched, unknown keys are ignored."""
+    import dataclasses as _dataclasses
+    import typing as _typing
+
+    try:
+        hints = _typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
+    kwargs = {}
+    for field in _dataclasses.fields(cls):
+        if not isinstance(data, dict) or field.name not in data:
+            continue
+        raw = data[field.name]
+        kwargs[field.name] = raw if _is_raw_field(field) else _build_from_hint(hints.get(field.name), raw)
+    return cls(**kwargs)
+
+
 def _ensure_marshmallow_dataclass_stub() -> types.ModuleType:
     """Installs (or extends) a ``marshmallow_dataclass`` stub.
 
@@ -284,15 +382,35 @@ def _ensure_marshmallow_dataclass_stub() -> types.ModuleType:
 
     if not hasattr(md, "add_schema"):
 
-        def _add_schema(cls):
-            class _PassthroughSchema:
+        def _add_schema(cls=None, **_kwargs):
+            # Also called as a decorator factory (``@add_schema(base_schema=...)``,
+            # mozilla_common_voice.py:83 — camel-casing for the download-meta
+            # schema, not under test).
+            if cls is None:
+                return _add_schema
+
+            class _FunctionalSchema:
+                """Hint-driven functional replacement for the generated
+                marshmallow-dataclass schema: dumps nested dataclasses/enums to
+                builtins, passes ``schema_field(Raw())`` fields through
+                untouched (the real Raw semantics — critical for
+                ``Checkpoint.model_state`` and the corpus split's transcription
+                objects), and loads by reconstructing nested types from the
+                dataclass type hints."""
+
                 def dump(self, obj):
-                    return _dataclasses.asdict(obj)
+                    out = {}
+                    for field in _dataclasses.fields(cls):
+                        value = getattr(obj, field.name)
+                        out[field.name] = (
+                            value if _is_raw_field(field) else _to_builtin(value)
+                        )
+                    return out
 
                 def load(self, data):
-                    return cls(**data)
+                    return _instantiate_from_hints(cls, data)
 
-            cls.Schema = _PassthroughSchema
+            cls.Schema = _FunctionalSchema
             return cls
 
         md.add_schema = _add_schema
@@ -364,11 +482,32 @@ def _ensure_dataset_processing_stub() -> types.ModuleType:
 
         processing.Batch = Batch
 
+    if not hasattr(processing, "BatchType"):
+        # Real enum values (reference dataset_processing.py:165-168): the real
+        # batching.py matches on these, so the annotation stub must carry them.
+        processing.BatchType = Enum("BatchType", {"UNLABELED": 0, "RAW": 1, "INDEXED": 2})
+
+    if not hasattr(processing, "LabeledBatch"):
+        # Functional field layouts (reference dataset_processing.py:91-162):
+        # the real batching.py _build_batch constructs these positionally.
+        @_dataclasses.dataclass
+        class RawLabeledBatch(processing.Batch):
+            raw_labels: object = None
+            utterance_ids: object = None
+
+        @_dataclasses.dataclass
+        class LabeledBatch(processing.Batch):
+            attribute_indices: object = None
+            label_lengths: object = None
+            label_length_indices: object = None
+
+        for cls in (RawLabeledBatch, LabeledBatch):
+            cls.__class_getitem__ = classmethod(lambda target, _item: target)
+        processing.RawLabeledBatch = RawLabeledBatch
+        processing.LabeledBatch = LabeledBatch
+
     for name in (
-        "BatchType",
-        "LabeledBatch",
         "PhonemeDataset",
-        "RawLabeledBatch",
         "SamplesProcessor",
         "TranscribedDataset",
         "PhoneticallySegmentedDataset",
@@ -541,9 +680,9 @@ def load_reference_predictions():
     if "torchaudio" not in sys.modules:
         from typing import Any, List, NamedTuple
 
-        torchaudio = types.ModuleType("torchaudio")
-        models = types.ModuleType("torchaudio.models")
-        decoder_module = types.ModuleType("torchaudio.models.decoder")
+        torchaudio = _stub_module("torchaudio")
+        models = _stub_module("torchaudio.models")
+        decoder_module = _stub_module("torchaudio.models.decoder")
 
         class CTCHypothesis(NamedTuple):
             # Field names/order per torchaudio.models.decoder.CTCHypothesis,
@@ -569,16 +708,16 @@ def load_reference_predictions():
         sys.modules["torchaudio.models.decoder"] = decoder_module
 
     if "mashumaro" not in sys.modules:
-        mashumaro = types.ModuleType("mashumaro")
-        mashumaro_types = types.ModuleType("mashumaro.types")
+        mashumaro = _stub_module("mashumaro")
+        mashumaro_types = _stub_module("mashumaro.types")
 
         class SerializationStrategy:
             def __init_subclass__(cls, **_kwargs):
                 pass
 
         mashumaro_types.SerializationStrategy = SerializationStrategy
-        mixins = types.ModuleType("mashumaro.mixins")
-        mixins_json = types.ModuleType("mashumaro.mixins.json")
+        mixins = _stub_module("mashumaro.mixins")
+        mixins_json = _stub_module("mashumaro.mixins.json")
 
         class DataClassJSONMixin:
             """Functional JSON plumbing (the real mashumaro generates this); the
@@ -715,6 +854,266 @@ def load_reference_error_rates():
         "allophant_reference_error_rates", "get_attribute_error_rates.py"
     )
     return _error_rates_cache
+
+
+def _ensure_mashumaro_msgpack_stub() -> None:
+    """Extends the mashumaro stub with a functional
+    ``mashumaro.mixins.msgpack.DataClassMessagePackMixin`` (the real package is
+    absent from this image): ``to_msgpack`` packs the hint-driven builtin dump
+    (field-name keyed maps, mashumaro's documented msgpack default) and
+    ``from_msgpack`` reconstructs through the dataclass type hints — the same
+    observable byte format the reference's corpus files use (ExtType payloads,
+    mozilla_common_voice.py:144-155)."""
+    if "mashumaro" not in sys.modules:
+        sys.modules["mashumaro"] = _stub_module("mashumaro")
+    if "mashumaro.mixins" not in sys.modules:
+        sys.modules["mashumaro.mixins"] = _stub_module("mashumaro.mixins")
+    if "mashumaro.mixins.msgpack" in sys.modules:
+        return
+
+    import msgpack as _msgpack
+
+    msgpack_module = _stub_module("mashumaro.mixins.msgpack")
+
+    class DataClassMessagePackMixin:
+        def to_msgpack(self) -> bytes:
+            return _msgpack.packb(_to_builtin(self), use_bin_type=True)
+
+        @classmethod
+        def from_msgpack(cls, data: bytes):
+            return _instantiate_from_hints(cls, _msgpack.unpackb(data, raw=False))
+
+        def to_dict(self):
+            return _to_builtin(self)
+
+        @classmethod
+        def from_dict(cls, data):
+            return _instantiate_from_hints(cls, data)
+
+    msgpack_module.DataClassMessagePackMixin = DataClassMessagePackMixin
+    sys.modules["mashumaro.mixins.msgpack"] = msgpack_module
+
+
+def _ensure_audio_backend_stubs() -> None:
+    """torchaudio.transforms.Resample and mutagen.File module stubs (call-time
+    dependencies of the real speech_corpus.py; never exercised by the corpus
+    (de)serialization paths under test)."""
+    if "torchaudio" not in sys.modules:
+        sys.modules["torchaudio"] = _stub_module("torchaudio")
+    torchaudio = sys.modules["torchaudio"]
+    if "torchaudio.transforms" not in sys.modules:
+        transforms = _stub_module("torchaudio.transforms")
+
+        class Resample:
+            def __init__(self, *_args, **_kwargs):
+                raise RuntimeError("torchaudio is unavailable in this image")
+
+        transforms.Resample = Resample
+        torchaudio.transforms = transforms
+        sys.modules["torchaudio.transforms"] = transforms
+    if not hasattr(torchaudio, "load"):
+        def _unavailable_load(*_args, **_kwargs):
+            raise RuntimeError("torchaudio is unavailable in this image")
+
+        torchaudio.load = _unavailable_load
+    if "mutagen" not in sys.modules:
+        mutagen = _stub_module("mutagen")
+
+        def _mutagen_file(*_args, **_kwargs):
+            raise RuntimeError("mutagen is unavailable in this image")
+
+        mutagen.File = _mutagen_file
+        sys.modules["mutagen"] = mutagen
+
+
+def _ensure_g2p_backend_stubs() -> None:
+    """stanza/epitran/phonemizer module stubs satisfying the import surface of
+    the real datasets/phonemes.py (G2P engines construct these at call time
+    only; the transcription data types under test never touch them)."""
+    if "stanza" not in sys.modules:
+        stanza = _stub_module("stanza")
+        resources = _stub_module("stanza.resources")
+        common = _stub_module("stanza.resources.common")
+        common.DEFAULT_MODEL_DIR = "/nonexistent"
+
+        class Pipeline:
+            def __init__(self, *_args, **_kwargs):
+                raise RuntimeError("stanza is unavailable in this image")
+
+        stanza.Pipeline = Pipeline
+        resources.common = common
+        stanza.resources = resources
+        sys.modules["stanza"] = stanza
+        sys.modules["stanza.resources"] = resources
+        sys.modules["stanza.resources.common"] = common
+    if "epitran" not in sys.modules:
+        epitran = _stub_module("epitran")
+        backoff = _stub_module("epitran.backoff")
+        meta = _stub_module("epitran.meta")
+
+        class _Unavailable:
+            def __init__(self, *_args, **_kwargs):
+                raise RuntimeError("epitran is unavailable in this image")
+
+        for name in ("Backoff", "PuncNorm", "StripDiacritics", "XSampa"):
+            setattr(backoff, name, type(name, (_Unavailable,), {}))
+        backoff.panphon = _stub_module("epitran.backoff.panphon")
+        epitran.Epitran = type("Epitran", (_Unavailable,), {})
+        epitran.meta = meta
+        epitran.backoff = backoff
+        sys.modules["epitran"] = epitran
+        sys.modules["epitran.backoff"] = backoff
+        sys.modules["epitran.meta"] = meta
+    if "phonemizer" not in sys.modules:
+        phonemizer = _stub_module("phonemizer")
+        backend = _stub_module("phonemizer.backend")
+        separator = _stub_module("phonemizer.separator")
+
+        class EspeakBackend:
+            def __init__(self, *_args, **_kwargs):
+                raise RuntimeError("phonemizer is unavailable in this image")
+
+        class Separator:
+            def __init__(self, *_args, **_kwargs):
+                pass
+
+        backend.EspeakBackend = EspeakBackend
+        separator.Separator = Separator
+        phonemizer.backend = backend
+        phonemizer.separator = separator
+        sys.modules["phonemizer"] = phonemizer
+        sys.modules["phonemizer.backend"] = backend
+        sys.modules["phonemizer.separator"] = separator
+
+
+_common_voice_cache: types.ModuleType | None = None
+
+
+def load_reference_common_voice():
+    """Returns the reference's *real* ``datasets/mozilla_common_voice.py`` module
+    — the corpus (de)serialization code (``CommonVoiceCorpus.save``/``from_file``
+    with the msgpack ExtType codecs, ``.corpus_path`` indirection, inventories
+    JSON; reference mozilla_common_voice.py:331-454) plus the real
+    ``datasets/phonemes.py`` transcription data types and the real
+    ``datasets/speech_corpus.py`` corpus containers it builds on, all under
+    their canonical module names (VERDICT r3 item 5: corpus-file interop).
+
+    Environment-blocked imports, stubbed (none are the serialization code under
+    test): mashumaro's msgpack mixin (functional hint-driven replacement with
+    mashumaro's documented field-name-map byte format), torchaudio/mutagen
+    (audio loading, call-time only), stanza/epitran/phonemizer (G2P engine
+    construction, call-time only), marshmallow_dataclass (functional
+    Raw-preserving schema stub — see ``_ensure_marshmallow_dataclass_stub``)."""
+    global _common_voice_cache
+    if _common_voice_cache is not None:
+        return _common_voice_cache
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+    _ensure_mashumaro_msgpack_stub()
+    _ensure_g2p_backend_stubs()
+    _ensure_audio_backend_stubs()
+
+    if "allophant.datasets" not in sys.modules:
+        sys.modules["allophant.datasets"] = types.ModuleType("allophant.datasets")
+
+    # Real transcription data types + real corpus containers, canonical names.
+    # (Replaces the annotation-only speech_corpus stub if one was installed:
+    # the real module is attribute-superset-compatible with it.)
+    if getattr(sys.modules.get("allophant.datasets.phonemes"), "__file__", None) is None:
+        phonemes = _load_reference_file("allophant_reference_datasets_phonemes", "datasets/phonemes.py")
+        sys.modules["allophant.datasets.phonemes"] = phonemes
+        sys.modules["allophant.datasets"].phonemes = phonemes
+    if getattr(sys.modules.get("allophant.datasets.speech_corpus"), "__file__", None) is None:
+        speech_corpus = _load_reference_file(
+            "allophant_reference_speech_corpus", "datasets/speech_corpus.py"
+        )
+        sys.modules["allophant.datasets.speech_corpus"] = speech_corpus
+        sys.modules["allophant.datasets"].speech_corpus = speech_corpus
+
+    import importlib.metadata as importlib_metadata
+
+    original_version = importlib_metadata.version
+
+    def _patched_version(name):
+        if name == "allophant":
+            return "0.0-reference-checkout"
+        return original_version(name)
+
+    importlib_metadata.version = _patched_version
+    try:
+        _common_voice_cache = _load_reference_file(
+            "allophant_reference_common_voice", "datasets/mozilla_common_voice.py"
+        )
+    finally:
+        importlib_metadata.version = original_version
+    sys.modules.setdefault("allophant.datasets.mozilla_common_voice", _common_voice_cache)
+    return _common_voice_cache
+
+
+_estimator_cache: types.ModuleType | None = None
+
+
+def load_reference_estimator():
+    """Returns the reference's *real* ``estimator.py`` module — the training-loop
+    runtime (``TrainingRun`` with its gradient-accumulation drain and validation
+    cadence, ``EarlyStopping``, ``EpochPosition``/``EpochStatistics``,
+    ``Checkpoint``, ``split_batch_size``) executed from the checkout
+    (reference estimator.py:108-928). This was the last major reference module
+    never run as a differential oracle (VERDICT r3 item 4).
+
+    Everything heavyweight it imports is real in this image: torch,
+    ``torch.utils.tensorboard``, tqdm, transformers, marshmallow. Stubbed
+    import-time dependencies, none of them code under test:
+
+    - ``marshmallow_dataclass`` (see ``_ensure_marshmallow_dataclass_stub``) —
+      attaches a dict-passthrough ``Checkpoint.Schema``; the field *layout* under
+      test comes from the dataclass itself.
+    - ``allophant.config`` — the canonical stub module, extended with the *real*
+      ``OptimizerWrapper``/``WarmupInfo``/``ProfilingConfig`` classes from the
+      reference's own config.py (``load_reference_config``), so the optimizer
+      machinery the loop drives is the reference's.
+    - ``allophant.dataset_processing`` / ``allophant.datasets.speech_corpus`` —
+      annotation-only stubs (the real modules pull in torchaudio); tests drive
+      ``TrainingRun`` with duck-typed dataset managers and batches.
+    - ``allophant.batching`` — the reference's *real* batching module symbols
+      (``load_reference_batching``), annotation-only in the loop.
+
+    ``TrainingRun.__init__`` calls ``cuda.get_device_properties(0)``
+    (estimator.py:510) unconditionally; CPU-only tests must patch
+    ``torch.cuda.get_device_properties`` before constructing one."""
+    global _estimator_cache
+    if _estimator_cache is not None:
+        return _estimator_cache
+    load_reference_phonetics()
+    _ensure_marshmallow_dataclass_stub()
+
+    real_config = load_reference_config()
+    config_stub = sys.modules["allophant.config"]
+    for name in ("OptimizerWrapper", "ProfilingConfig", "WarmupInfo"):
+        if not hasattr(config_stub, name):
+            setattr(config_stub, name, getattr(real_config, name))
+
+    _ensure_dataset_processing_stub()
+    _ensure_speech_corpus_stub()
+    speech_corpus = sys.modules["allophant.datasets.speech_corpus"]
+    for name in ("AudioInfo", "SplitMetaData"):
+        if not hasattr(speech_corpus, name):
+            stub = type(name, (), {"__class_getitem__": classmethod(lambda cls, _item: cls)})
+            setattr(speech_corpus, name, stub)
+
+    # Real torch model layer (Allophant, Predictions, UnfreezeSchedule) under
+    # the canonical names.
+    load_reference_network()
+
+    # Real batching symbols (Batch/Batcher/LabeledBatch) on the canonical module.
+    batching = load_reference_batching()
+    canonical_batching = sys.modules["allophant.batching"]
+    for name in ("Batch", "Batcher", "LabeledBatch"):
+        if not hasattr(canonical_batching, name):
+            setattr(canonical_batching, name, getattr(batching, name))
+
+    _estimator_cache = _load_reference_file("allophant_reference_estimator", "estimator.py")
+    return _estimator_cache
 
 
 _run_cache: types.ModuleType | None = None

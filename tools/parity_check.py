@@ -198,35 +198,145 @@ def check_fullsize(seconds: float = 2.0, tolerance: float = 5e-3) -> int:
     return status
 
 
-def check_decisions(seconds: float = 10.0, batch: int = 8, seed: int = 0) -> int:
-    """Decision-level bf16 serving-parity study (VERDICT r2 item 3).
+def _overfit_flagship(steps: int, batch: int, seconds: float, seed: int):
+    """Briefly overfits the flagship on one fixed synthetic batch and returns the
+    trained params plus that batch — logits become confidently separated on it,
+    the regime real serving operates in (published CTC models emit near-one-hot
+    frame posteriors). Training runs the production bf16+remat step; measurement
+    afterwards uses whatever compute path the caller builds with these params."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from allophant_tpu.demo import build_flagship
+    from allophant_tpu.training.train_step import (
+        build_freeze_plan,
+        build_loss_plan,
+        create_optimizer,
+        make_train_step,
+    )
+
+    config, indexer, built = build_flagship(dtype=jnp.bfloat16, remat=True)
+    variables = built.init(jax.random.PRNGKey(seed), sample_batch_size=1, sample_length=3200)
+    params = variables.pop("params")
+
+    architecture = config.nn
+    loss_plan = build_loss_plan(architecture, has_allophone=True)
+    optimizer = create_optimizer(architecture, built.d_model)
+    opt_state = optimizer.init(params)
+    freeze_plan = build_freeze_plan(architecture.acoustic_model)
+    step = jax.jit(
+        make_train_step(built.model, optimizer, loss_plan, freeze_plan),
+        donate_argnums=(0, 1),
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = int(16_000 * seconds)
+    audio = rng.standard_normal((1, batch, samples)).astype(np.float32)
+    lengths = np.full((1, batch), samples, np.int32)
+    language_ids = (np.arange(batch) % 4).astype(np.int32)[None]
+    label_length = 30
+    micro = {
+        "audio": jnp.asarray(audio),
+        "lengths": jnp.asarray(lengths),
+        "language_ids": jnp.asarray(language_ids),
+    }
+    # In-inventory labels for the allophone head (see __graft_entry__: sampling
+    # the full shared-phone set would demand phones the language mask sets to
+    # -1e9 — a degenerate loss regime real data never enters).
+    language_pools = {
+        language_id: np.fromiter(mapping.keys(), dtype=np.int64) + 1
+        for language_id, mapping in indexer.language_allophones.allophones.items()
+    }
+    for node in built.model.plan.nodes:
+        name = node.name
+        if node.has_allophone:
+            labels = np.empty((1, batch, label_length), np.int32)
+            for row in range(batch):
+                pool = language_pools[int(language_ids[0, row])]
+                labels[0, row] = rng.choice(pool, size=label_length)
+        else:
+            labels = rng.integers(1, node.output_size, (1, batch, label_length)).astype(np.int32)
+        micro[f"labels_{name}"] = jnp.asarray(labels)
+        micro[f"label_lengths_{name}"] = jnp.full((1, batch), label_length, jnp.int32)
+
+    key = jax.random.key(1, impl="rbg")
+    start = time.perf_counter()
+    first_loss = None
+    for index in range(steps):
+        params, opt_state, metrics = step(params, opt_state, variables, micro, key)
+        if index == 0:
+            first_loss = float(metrics["mean_loss"])
+            print(
+                f"overfit step 1/{steps}: loss {first_loss:.1f}"
+                f" (compile+step {time.perf_counter() - start:.0f}s)",
+                flush=True,
+            )
+    final_loss = float(metrics["mean_loss"])
+    print(
+        f"overfit {steps} steps on one batch {batch} x {seconds:.0f}s: "
+        f"loss {first_loss:.1f} -> {final_loss:.1f} "
+        f"({time.perf_counter() - start:.0f}s)",
+        flush=True,
+    )
+    return params, variables, (audio[0], lengths[0], language_ids[0])
+
+
+def check_decisions(
+    seconds: float = 10.0,
+    batch: int = 8,
+    seed: int = 0,
+    train_steps: int = 0,
+    verbose: bool = False,
+) -> int:
+    """Decision-level serving-precision study (VERDICT r2 item 3 / r3 items 1-2).
 
     Activation drift (``fullsize``) bounds numeric error; what predicts PER
     slippage is whether greedy *decisions* flip. This runs the full flagship
-    (XLS-R-300m-sized encoder, all 37 heads, allophone layer) with one shared set
-    of random f32 weights through the f32 and bf16 compute paths and reports, per
-    head and aggregate: the frame-argmax flip rate and the token-level edit rate
-    of the bf16 greedy CTC decode measured against the f32 decode (a synthetic
-    PER delta). Random weights are the pessimistic case — their near-uniform
-    logits sit close to argmax ties (trained logits are far more separated), so
-    real serving flip rates are bounded above by these numbers. Reference
-    inference is f32 (acoustic_model.py:1027-1052 has no half path); serving bf16
-    is this framework's deliberate deviation, and this is its bound."""
+    (XLS-R-300m-sized encoder, all 37 heads, allophone layer) with one shared
+    set of f32 weights through each fast serving preset — bf16, mixed (bf16
+    encoder, f32 decision tail), and float32_high (f32 activations, 3-pass bf16
+    matmuls) — against the full-f32 HIGHEST ground truth (the reference's
+    inference precision, acoustic_model.py:1027-1052), reporting per preset the
+    frame-argmax flip rate and the token-level edit rate of its greedy CTC
+    decode vs the f32 decode (a synthetic PER delta).
+
+    With ``train_steps=0`` the weights are random — the pessimistic case, since
+    near-uniform logits sit close to argmax ties. ``--train-steps N`` first
+    overfits the flagship on one fixed synthetic batch (production bf16+remat
+    train step) and measures decisions on that batch: logits are then
+    confidently separated, the regime trained serving operates in, grounding
+    the random-weights bound with a trained-logits measurement."""
     import jax
     import jax.numpy as jnp
 
     from allophant_tpu.demo import build_flagship
     from allophant_tpu.phonemes import levensthein
 
-    config, indexer, built32 = build_flagship(dtype=jnp.float32)
-    _config16, _indexer16, built16 = build_flagship(dtype=jnp.bfloat16)
-    variables = built32.init(jax.random.PRNGKey(seed), sample_batch_size=1, sample_length=3200)
+    presets = {
+        "bfloat16": dict(dtype=jnp.bfloat16),
+        "mixed": dict(dtype=jnp.bfloat16, head_dtype=jnp.float32),
+        "float32_high": dict(dtype=jnp.float32, f32_matmul_precision="high"),
+    }
 
-    rng = np.random.default_rng(seed)
-    samples = int(16_000 * seconds)
-    audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32))
-    lengths = jnp.asarray(np.full(batch, samples, np.int32))
-    language_ids = jnp.asarray((np.arange(batch) % 4).astype(np.int32))
+    config, indexer, built32 = build_flagship(dtype=jnp.float32)
+
+    if train_steps:
+        params, other_variables, (audio_np, lengths_np, language_ids_np) = _overfit_flagship(
+            train_steps, batch, seconds, seed
+        )
+        variables = {**other_variables, "params": params}
+        audio = jnp.asarray(audio_np)
+        lengths = jnp.asarray(lengths_np)
+        language_ids = jnp.asarray(language_ids_np)
+    else:
+        variables = built32.init(jax.random.PRNGKey(seed), sample_batch_size=1, sample_length=3200)
+        rng = np.random.default_rng(seed)
+        samples = int(16_000 * seconds)
+        audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32))
+        lengths = jnp.asarray(np.full(batch, samples, np.int32))
+        language_ids = jnp.asarray((np.arange(batch) % 4).astype(np.int32))
 
     def forward(built):
         predictions = jax.jit(
@@ -236,51 +346,81 @@ def check_decisions(seconds: float = 10.0, batch: int = 8, seed: int = 0) -> int
         return outputs, np.asarray(predictions.lengths)
 
     outputs32, frame_lengths = forward(built32)
-    outputs16, _ = forward(built16)
+
+    # Logit-separation summary for the ground-truth path: mean/percentile margin
+    # between the top-2 phoneme softmax probabilities over real frames. Trained
+    # logits should show near-1 top-1 probabilities; random weights sit near
+    # uniform. This is the number README's bf16 discussion rests on.
+    phoneme = outputs32["phoneme"]
+    margins = []
+    top1 = []
+    for row in range(batch):
+        length = int(frame_lengths[row])
+        logits = phoneme[row, :length]
+        probabilities = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probabilities /= probabilities.sum(axis=-1, keepdims=True)
+        ordered = np.sort(probabilities, axis=-1)
+        margins.append(ordered[:, -1] - ordered[:, -2])
+        top1.append(ordered[:, -1])
+    margins = np.concatenate(margins)
+    top1 = np.concatenate(top1)
+    print(
+        f"phoneme-head separation (f32 path): mean top-1 prob {top1.mean():.4f}, "
+        f"mean top-2 margin {margins.mean():.4f}, p5 margin {np.percentile(margins, 5):.4f}"
+    )
 
     def greedy_tokens(logits_row, length) -> list:
         ids = logits_row[:length].argmax(axis=-1)
         collapsed = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
         return [int(token) for token in collapsed if token != 0]
 
-    total_frames = 0
-    total_flips = 0
-    total_edits = 0
-    total_reference_tokens = 0
-    worst = (0.0, "")
-    for name in sorted(outputs32):
-        head32, head16 = outputs32[name], outputs16[name]
-        flips = 0
-        frames = 0
-        edits = 0
-        reference_tokens = 0
-        for row in range(batch):
-            length = int(frame_lengths[row])
-            argmax32 = head32[row, :length].argmax(axis=-1)
-            argmax16 = head16[row, :length].argmax(axis=-1)
-            flips += int((argmax32 != argmax16).sum())
-            frames += length
-            tokens32 = greedy_tokens(head32[row], length)
-            tokens16 = greedy_tokens(head16[row], length)
-            edits += levensthein(tokens32, tokens16)
-            reference_tokens += max(len(tokens32), 1)
-        flip_rate = flips / max(frames, 1)
-        edit_rate = edits / max(reference_tokens, 1)
-        if flip_rate > worst[0]:
-            worst = (flip_rate, name)
-        total_frames += frames
-        total_flips += flips
-        total_edits += edits
-        total_reference_tokens += reference_tokens
-        print(f"[{name:>24s}] argmax flip {100 * flip_rate:6.3f}%  token edit rate {100 * edit_rate:6.3f}%")
+    for preset_name, kwargs in presets.items():
+        _config_fast, _indexer_fast, built = build_flagship(**kwargs)
+        outputs, _ = forward(built)
 
-    print(
-        f"aggregate over {len(outputs32)} heads, {batch} x {seconds:.0f}s: "
-        f"argmax flip rate {100 * total_flips / max(total_frames, 1):.3f}%, "
-        f"synthetic PER delta (bf16 vs f32 decode) "
-        f"{100 * total_edits / max(total_reference_tokens, 1):.3f}%, "
-        f"worst head {worst[1]} at {100 * worst[0]:.3f}%"
-    )
+        total_frames = 0
+        total_flips = 0
+        total_edits = 0
+        total_reference_tokens = 0
+        worst = (0.0, "")
+        for name in sorted(outputs32):
+            head32, head_fast = outputs32[name], outputs[name]
+            flips = 0
+            frames = 0
+            edits = 0
+            reference_tokens = 0
+            for row in range(batch):
+                length = int(frame_lengths[row])
+                argmax32 = head32[row, :length].argmax(axis=-1)
+                argmax_fast = head_fast[row, :length].argmax(axis=-1)
+                flips += int((argmax32 != argmax_fast).sum())
+                frames += length
+                tokens32 = greedy_tokens(head32[row], length)
+                tokens_fast = greedy_tokens(head_fast[row], length)
+                edits += levensthein(tokens32, tokens_fast)
+                reference_tokens += max(len(tokens32), 1)
+            flip_rate = flips / max(frames, 1)
+            edit_rate = edits / max(reference_tokens, 1)
+            if flip_rate > worst[0]:
+                worst = (flip_rate, name)
+            total_frames += frames
+            total_flips += flips
+            total_edits += edits
+            total_reference_tokens += reference_tokens
+            if verbose:
+                print(
+                    f"  [{preset_name}/{name:>24s}] argmax flip {100 * flip_rate:6.3f}%"
+                    f"  token edit rate {100 * edit_rate:6.3f}%"
+                )
+
+        print(
+            f"[{preset_name:>12s}] over {len(outputs32)} heads, {batch} x {seconds:.0f}s"
+            f"{f' (trained {train_steps} steps)' if train_steps else ' (random weights)'}: "
+            f"argmax flip rate {100 * total_flips / max(total_frames, 1):.3f}%, "
+            f"synthetic PER delta vs f32 decode "
+            f"{100 * total_edits / max(total_reference_tokens, 1):.3f}%, "
+            f"worst head {worst[1]} at {100 * worst[0]:.3f}%"
+        )
     return 0
 
 
@@ -358,6 +498,12 @@ def main(argv=None) -> int:
     decisions.add_argument("--seconds", type=float, default=10.0)
     decisions.add_argument("--batch", type=int, default=8)
     decisions.add_argument("--seed", type=int, default=0)
+    decisions.add_argument(
+        "--train-steps", type=int, default=0,
+        help="overfit the flagship this many steps on one synthetic batch first, then"
+        " measure decisions on that batch (trained-logits regime)",
+    )
+    decisions.add_argument("--verbose", action="store_true", help="per-head lines")
 
     rates = commands.add_parser("error-rates")
     rates.add_argument("predictions")
@@ -373,7 +519,10 @@ def main(argv=None) -> int:
     if arguments.command == "checkpoint":
         return check_checkpoint(arguments.path)
     if arguments.command == "decisions":
-        return check_decisions(arguments.seconds, arguments.batch, arguments.seed)
+        return check_decisions(
+            arguments.seconds, arguments.batch, arguments.seed,
+            arguments.train_steps, arguments.verbose,
+        )
     return check_error_rates(
         arguments.predictions,
         arguments.reference,
