@@ -234,3 +234,125 @@ class TestErrorRatesCommand:
         ours = macro_average_error_rates(MultilingualEvaluationResults.load(same))
         theirs = macro_average_error_rates(MultilingualEvaluationResults.load(worse_path))
         assert abs(ours["phoneme_error_rate"] - theirs["phoneme_error_rate"]) * 100 > 0.1
+
+
+class TestAllCommand:
+    """Dry run of the artifacts-day orchestrator (``parity_check.py all``) on
+    synthetic stand-ins: a tiny fresh checkpoint, a synthetic UCLA corpus, and a
+    "published" results file generated from the tool's own predictions (so the
+    gate passes at zero difference)."""
+
+    def _write_wav(self, file_path, samples):
+        import wave
+
+        import numpy as np
+
+        with wave.open(str(file_path), "wb") as file:
+            file.setnchannels(1)
+            file.setsampwidth(2)
+            file.setframerate(16000)
+            file.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+
+    def _build_artifacts(self, tmp_path):
+        import numpy as np
+
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+        from fixtures import mini_allophoible_csv, mini_config_dict
+
+        from allophant_tpu.config import Config
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+        from allophant_tpu.phonetics.features import FeatureSet, PhoneticAttributeIndexer
+        from allophant_tpu.training import Estimator
+
+        corpus_dir = tmp_path / "corpora"
+        ucla = corpus_dir / "ucla"
+        rng = np.random.default_rng(0)
+        for language, phonemes in [("spa", ["a", "t", "n"]), ("ita", ["a", "s"])]:
+            base = ucla / language
+            (base / "audio").mkdir(parents=True)
+            with open(base / "inventory", "w", encoding="utf-8") as file:
+                for phoneme in phonemes:
+                    file.write(f"{phoneme} 5\n")
+            with open(base / "raw", "w", encoding="utf-8") as raw, open(
+                base / "text", "w", encoding="utf-8"
+            ) as text:
+                for index in range(2):
+                    utterance = f"{language}_{index}"
+                    raw.write(f"{utterance} rawform\n")
+                    text.write(f"{utterance} {' '.join(phonemes)}\n")
+                    self._write_wav(
+                        base / "audio" / f"{utterance}.wav",
+                        rng.uniform(-0.3, 0.3, 1600 + 320 * index).astype("float32"),
+                    )
+
+        config = Config.load(mini_config_dict())
+        indexer = PhoneticAttributeIndexer(
+            FeatureSet.PHOIBLE,
+            mini_allophoible_csv(),
+            attribute_subset=[entry.name for entry in config.nn.projection.classes],
+            language_inventories=["spa", "ita"],
+        )
+        estimator = Estimator.from_config(
+            config, 1, 16_000,
+            attribute_graph_from_config(config, indexer), indexer,
+            load_pretrained_weights=False,
+        )
+        checkpoint_dir = tmp_path / "checkpoints"
+        checkpoint_dir.mkdir()
+        estimator.save(str(checkpoint_dir / "allophant.pt"), phonetic_indexer_state=indexer.state())
+        return checkpoint_dir, corpus_dir, ucla
+
+    def test_dry_run_passes_at_zero_difference(self, tmp_path):
+        checkpoint_dir, corpus_dir, _ucla = self._build_artifacts(tmp_path)
+
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+        import parity_check
+
+        from allophant_tpu.evaluation_runner import (
+            compute_edit_statistics,
+            summarize_edit_statistics,
+        )
+        from allophant_tpu.predictions import PredictionReader
+
+        # First pass: predictions exist afterwards; generate the synthetic
+        # "published" results from them so the diff is exactly zero.
+        output_dir = tmp_path / "outputs"
+        results_dir = tmp_path / "published"
+        results_dir.mkdir()
+        status = parity_check.check_all(
+            str(checkpoint_dir), str(corpus_dir),
+            output_dir=str(output_dir), reference_results=str(results_dir),
+            models=["allophant"],
+        )
+        assert status == 2  # ran nothing: no published results yet
+        # check_all skipped before predicting; produce the predictions by
+        # pointing it at a published file generated from a direct CLI run.
+        from allophant_tpu.cli import run as run_cli
+
+        predictions_path = output_dir / "allophant_ucla.jsonl"
+        run_cli.main([
+            "predict", str(_ucla), str(checkpoint_dir / "allophant.pt"),
+            "-t", "ucla-phonetic", "-o", str(predictions_path), "--no-progress",
+            "-m", "utterances", "-s", "2",
+        ])
+        with PredictionReader(str(predictions_path)) as reader:
+            statistics = compute_edit_statistics(reader, map_phonemes=True)
+            results = summarize_edit_statistics(statistics, reader.metadata.classifiers)
+        results.dump(str(results_dir / "allophant_ucla.json"))
+
+        status = parity_check.check_all(
+            str(checkpoint_dir), str(corpus_dir),
+            output_dir=str(output_dir), reference_results=str(results_dir),
+            models=["allophant"],
+        )
+        assert status == 0
+
+    def test_empty_dirs_exit_2(self, tmp_path):
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+        import parity_check
+
+        empty_checkpoints = tmp_path / "ckpts"
+        empty_corpora = tmp_path / "corpora"
+        empty_checkpoints.mkdir()
+        empty_corpora.mkdir()
+        assert parity_check.check_all(str(empty_checkpoints), str(empty_corpora)) == 2

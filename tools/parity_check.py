@@ -478,6 +478,128 @@ def check_error_rates(
     return 1 if failed else 0
 
 
+#: The five released checkpoints -> interspeech_results file-stem prefixes
+#: (reference README.md:11-23, interspeech_results/*.json).
+MODEL_VARIANTS = {
+    "allophant": "allophant",
+    "allophant-hierarchical": "allophant_hierarchical",
+    "allophant-shared": "allophant_shared",
+    "allophant-baseline": "allophant_baseline",
+    "allophant-baseline-shared": "allophant_baseline_shared",
+}
+
+#: corpus key -> (predict --dataset-type, results-file suffix, candidate dir names)
+CORPUS_KINDS = {
+    "ucla": ("ucla-phonetic", "_ucla", ("ucla", "ucla-phonetic", "ucla_phonetic")),
+    "commonvoice": ("common-voice", "_commonvoice", ("commonvoice", "common-voice", "cv")),
+}
+
+_DEFAULT_REFERENCE_RESULTS = "/root/reference/interspeech_results"
+
+
+def _resolve_checkpoint(checkpoint_dir: str, name: str):
+    """Finds one released checkpoint under flexible layouts: ``<dir>/<name>.pt``,
+    ``<dir>/<name>/allophant.pt`` (HF snapshot), or a bare ``<dir>/<name>`` file."""
+    candidates = [
+        os.path.join(checkpoint_dir, f"{name}.pt"),
+        os.path.join(checkpoint_dir, name, "allophant.pt"),
+        os.path.join(checkpoint_dir, name),
+    ]
+    for candidate in candidates:
+        if os.path.isfile(candidate):
+            return candidate
+    return None
+
+
+def _resolve_corpora(corpus_dir: str):
+    found = {}
+    for key, (dataset_type, suffix, names) in CORPUS_KINDS.items():
+        for name in names:
+            candidate = os.path.join(corpus_dir, name)
+            if os.path.isdir(candidate):
+                found[key] = (candidate, dataset_type, suffix)
+                break
+    return found
+
+
+def check_all(
+    checkpoint_dir: str,
+    corpus_dir: str,
+    output_dir: str | None = None,
+    tolerance: float = 0.1,
+    reference_results: str | None = None,
+    models=None,
+    batch_size: int | None = None,
+) -> int:
+    """Artifacts-day orchestrator (VERDICT r3 item 7): one command that runs
+    every available released checkpoint x corpus through predict -> evaluate ->
+    error-rates and table-diffs against the published ``interspeech_results``
+    at the 0.1%-absolute gate (BASELINE.md; reference run.py:434-466,
+    get_attribute_error_rates.py:59-89).
+
+    Missing artifacts are reported and skipped (the weights/corpora arrive
+    incrementally); the command fails only when a *run* pair misses the gate.
+    Layout expectations: ``checkpoint_dir`` holds ``<model>.pt`` or
+    ``<model>/allophant.pt`` per released model name; ``corpus_dir`` holds
+    ``ucla/`` (UCLA Phonetic Corpus language dirs) and/or ``commonvoice/``
+    (preprocessed ``test_transcriptions.bin`` + inventories)."""
+    from allophant_tpu.cli import run as run_cli
+
+    reference_results = reference_results or _DEFAULT_REFERENCE_RESULTS
+    output_dir = output_dir or os.path.join(checkpoint_dir, "parity_outputs")
+    os.makedirs(output_dir, exist_ok=True)
+
+    corpora = _resolve_corpora(corpus_dir)
+    if not corpora:
+        print(f"no corpora found under {corpus_dir} (expected ucla/ or commonvoice/)", file=sys.stderr)
+        return 2
+
+    selected = models or list(MODEL_VARIANTS)
+    ran = 0
+    failures = []
+    skipped = []
+    for model_name in selected:
+        stem = MODEL_VARIANTS[model_name]
+        checkpoint = _resolve_checkpoint(checkpoint_dir, model_name)
+        if checkpoint is None:
+            skipped.append(f"{model_name}: checkpoint not found under {checkpoint_dir}")
+            continue
+        for corpus_key, (corpus_path, dataset_type, suffix) in corpora.items():
+            reference_file = os.path.join(reference_results, f"{stem}{suffix}.json")
+            if not os.path.isfile(reference_file):
+                skipped.append(f"{model_name} x {corpus_key}: no reference results {reference_file}")
+                continue
+            predictions_path = os.path.join(output_dir, f"{stem}{suffix}.jsonl")
+            print(f"=== {model_name} x {corpus_key} ===", flush=True)
+            if not os.path.isfile(predictions_path):
+                predict_args = [
+                    "predict", corpus_path, checkpoint,
+                    "-t", dataset_type, "-o", predictions_path, "--no-progress",
+                ]
+                if batch_size is not None:
+                    predict_args += ["-m", "utterances", "-s", str(batch_size)]
+                status = run_cli.main(predict_args)
+                if status not in (0, None):
+                    failures.append(f"{model_name} x {corpus_key}: predict exited {status}")
+                    continue
+            else:
+                print(f"(reusing existing {predictions_path})", flush=True)
+            status = check_error_rates(predictions_path, reference_file, tolerance)
+            ran += 1
+            if status != 0:
+                failures.append(f"{model_name} x {corpus_key}: error rates outside {tolerance}pp")
+
+    for line in skipped:
+        print(f"SKIP {line}")
+    print(f"ran {ran} checkpoint x corpus pairs, {len(failures)} failures, {len(skipped)} skipped")
+    for line in failures:
+        print(f"FAIL {line}")
+    if ran == 0:
+        print("nothing ran: no (checkpoint, corpus, reference-results) triple was complete", file=sys.stderr)
+        return 2
+    return 1 if failures else 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     commands = parser.add_subparsers(dest="command", required=True)
@@ -511,7 +633,36 @@ def main(argv=None) -> int:
     rates.add_argument("--tolerance", type=float, default=0.1, help="percentage points")
     rates.add_argument("--no-remap", action="store_true", help="skip inventory remapping")
 
+    everything = commands.add_parser(
+        "all",
+        help="artifacts-day orchestrator: every checkpoint x corpus -> predict ->"
+        " error-rate table diff vs interspeech_results at the 0.1pp gate",
+    )
+    everything.add_argument("checkpoint_dir")
+    everything.add_argument("corpus_dir")
+    everything.add_argument("--output-dir", default=None)
+    everything.add_argument("--tolerance", type=float, default=0.1, help="percentage points")
+    everything.add_argument(
+        "--reference-results", default=None,
+        help=f"published results dir (default {_DEFAULT_REFERENCE_RESULTS})",
+    )
+    everything.add_argument(
+        "--models", type=lambda names: names.split(","), default=None,
+        help=f"comma-separated subset of {','.join(MODEL_VARIANTS)}",
+    )
+    everything.add_argument("--batch-size", type=int, default=None)
+
     arguments = parser.parse_args(argv)
+    if arguments.command == "all":
+        return check_all(
+            arguments.checkpoint_dir,
+            arguments.corpus_dir,
+            arguments.output_dir,
+            arguments.tolerance,
+            arguments.reference_results,
+            arguments.models,
+            arguments.batch_size,
+        )
     if arguments.command == "activations":
         return check_activations(arguments.model_id, arguments.seconds, arguments.tolerance)
     if arguments.command == "fullsize":
