@@ -43,13 +43,27 @@ _LOG2E = np.float32(1.4426950408889634)
 # Softmax denominator clamp: a fully-padded (zero-length) row's weights all
 # flush to 0; the clamp turns the would-be 0/0 into an all-zero output row.
 _TINY_TOTAL = np.float32(1e-30)
-# Full-tile VMEM use is ~(4 * T * D * 2 + 4 * T * T) bytes plus pipeline
-# buffers; 768 frames (~23 s audio) stays under the 16 MB budget at D=1024.
+# Mode ceilings are performance priors; compile legality is the calibrated
+# scoped-VMEM fit below (``_full_plan_fits`` / ``_MAX_HEADBLOCK_TIME_BY_ITEMSIZE``),
+# probed on device per dtype (tools/probe_oneshot_f32.py) because the 16 MB
+# scoped-vmem stack accounts double-buffered io tiles plus score-sized scratch.
 MAX_ONESHOT_TIME = 768
-# Beyond that, a head-blocked variant (two heads per grid cell, so q/k/v tiles
-# are [T, 128] — still lane-aligned) holds one [T, T] f32 score tile at a time;
-# 1536 frames (~46 s audio) keeps it under budget.
 MAX_HEADBLOCK_TIME = 1536
+# Full plan: double-buffered [T, D] q/k/v/out io tiles plus two f32 [T, T]
+# scratch tiles (scores, exps). On-device calibration at D=1024: bf16 T=512
+# (modeled 10.5 MB) compiles; bf16 T=768 (17.3 MB) and f32 T=512 (18.9 MB,
+# reported as a 19.86 MB scoped allocation over the 16 MB limit) fail.
+_FULL_PLAN_VMEM_BUDGET = 15_500_000
+# Head-blocked ceilings per itemsize, probed on device at D=1024 (the byte
+# model above mispredicts this mode — Mosaic's scratch accounting differs):
+# bf16 compiles at T=1536; f32 compiles at T=1152 and fails at T=1280.
+_MAX_HEADBLOCK_TIME_BY_ITEMSIZE = {2: 1536, 4: 1152}
+
+
+def _full_plan_fits(model_dim: int, padded_time: int, item_bytes: int) -> bool:
+    io_bytes = 2 * 4 * padded_time * model_dim * item_bytes
+    scratch_bytes = 2 * padded_time * padded_time * 4
+    return io_bytes + scratch_bytes <= _FULL_PLAN_VMEM_BUDGET
 _HEADS_PER_BLOCK = 2
 # Past the head-blocked limit, the query axis is additionally blocked: each grid
 # cell computes [Tq, T] scores for its heads with the FULL key axis resident, so
@@ -100,13 +114,22 @@ def plan_oneshot(
     def lane_legal(block_width: int) -> bool:
         return not strict_lanes or block_width % 128 == 0 or block_width == heads * head_dim
 
-    if padded_time <= MAX_ONESHOT_TIME:
-        return ("full", heads)  # block spans the whole [T, H*hd] tile: always legal
-    if padded_time <= MAX_HEADBLOCK_TIME:
+    model_dim = heads * head_dim
+    if padded_time <= MAX_ONESHOT_TIME and (
+        not strict_lanes or _full_plan_fits(model_dim, padded_time, item_bytes)
+    ):
+        return ("full", heads)  # block spans the whole [T, H*hd] tile
+    headblock_ceiling = (
+        _MAX_HEADBLOCK_TIME_BY_ITEMSIZE.get(item_bytes, MAX_HEADBLOCK_TIME)
+        if strict_lanes
+        else MAX_HEADBLOCK_TIME
+    )
+    # Shapes too big for full (f32 serving, long bf16) cascade here; shapes too
+    # big for headblock (long f32) cascade on to the query-blocked plan.
+    if padded_time <= headblock_ceiling:
         for heads_per_block in (_HEADS_PER_BLOCK, 1):
             if heads % heads_per_block == 0 and lane_legal(heads_per_block * head_dim):
                 return ("headblock", heads_per_block)
-        return None
     if padded_time <= MAX_QBLOCK_TIME:
         for candidate_heads, candidate_block in _QBLOCK_CANDIDATES:
             kv_bytes = 4 * padded_time * candidate_heads * head_dim * item_bytes
