@@ -157,7 +157,14 @@ def train_network(arguments: Namespace) -> None:
         # Rematerialize encoder activations: the XLS-R flagship's training step
         # does not fit HBM otherwise (the saved attention/FFN residuals alone
         # exceed 16 GB at practical batch sizes).
-        estimator, attribute_indexer = Estimator.restore(checkpoint, remat=True)
+        # Training precision follows the config's AMP flag (reference
+        # config.py:830): bf16 matmul regions + f32 loss tail when on, full
+        # f32 when off — not the serving default.
+        estimator, attribute_indexer = Estimator.restore(
+            checkpoint,
+            remat=True,
+            precision="mixed" if config.nn.mixed_precision else "float32",
+        )
     else:
         attribute_table = arguments.attribute_path.read() if arguments.attribute_path else None
         attribute_indexer = PhoneticAttributeIndexer.from_config(
@@ -330,13 +337,13 @@ def predict(arguments: Namespace) -> None:
     if n_candidates > arguments.ctc_beam:
         raise ValueError(f"n_best {n_candidates} larger than the beam size {arguments.ctc_beam}")
 
-    import jax.numpy as jnp
-
+    # --precision picks a serving preset; --bf16 is the legacy spelling of
+    # --precision bfloat16. Default (None) = the shipped DEFAULT_SERVING_PRECISION.
+    precision = getattr(arguments, "precision", None)
+    if arguments.bf16:
+        precision = "bfloat16"
     inference_estimator, attribute_indexer = Estimator.restore(
-        arguments.model_path,
-        # f32 is the parity default (the reference serves f32); bf16 is the
-        # measured fast path — decision-level bound in README ("decisions" study).
-        dtype=jnp.bfloat16 if arguments.bf16 else jnp.float32,
+        arguments.model_path, precision=precision
     )
     config = inference_estimator.config
 
@@ -833,10 +840,17 @@ def make_parser() -> ArgumentParser:
         help="For allophone models, outputs language-specific phoneme classifiers",
     )
     predict_parser.add_argument(
+        "--precision",
+        choices=["float32", "float32_high", "mixed", "bfloat16"],
+        default=None,
+        help="Serving precision preset (default: 'mixed' — bf16 encoder, f32"
+        " decision tail; ~3x faster than float32_high on TPU)."
+        " 'float32_high' is decision-exact; 'float32' is the bit-level"
+        " reference-parity preset; see README for the measured bounds",
+    )
+    predict_parser.add_argument(
         "--bf16", action="store_true",
-        help="Serve in bfloat16 (~35%% faster on TPU). Default is float32, the"
-        " reference-parity precision; see README for the measured decision-level"
-        " bf16 bound",
+        help="Legacy alias for --precision bfloat16",
     )
 
     export_parser = subparsers.add_parser(
@@ -872,13 +886,12 @@ def make_parser() -> ArgumentParser:
 
 
 def export_model(arguments: Namespace) -> None:
-    import jax.numpy as jnp
-
     from allophant_tpu import serving
     from allophant_tpu.training import Estimator
 
     estimator, _indexer = Estimator.restore(
-        arguments.model_path, dtype=jnp.bfloat16 if arguments.bf16 else jnp.float32
+        arguments.model_path,
+        precision="bfloat16" if arguments.bf16 else None,
     )
     exported = serving.export_transcriber(
         estimator,

@@ -284,6 +284,30 @@ _HASH_P1 = np.int32(1_000_003)
 _HASH_P2 = np.int32(31_337)
 
 
+# Beam-scan unroll factor: amortizes per-iteration scan bookkeeping and lets
+# XLA overlap independent ops across consecutive time steps (A/B'd on device
+# via tools/profile_beam.py; module-level so sweeps can override).
+_SCAN_UNROLL = 4
+
+
+def _top_k_small(values: jnp.ndarray, k: int):
+    """Top-k by k rounds of (argmax, mask): for the beam widths used here
+    (k <= 8) this is a handful of VPU reduces per round, where ``lax.top_k``
+    lowers to a full sort of the candidate axis — inside a 500-step ``lax.scan``
+    the sort dominated the whole beam search's device time. Ties resolve to the
+    lowest index first, matching ``lax.top_k``'s stable order."""
+    remaining = values
+    columns = jnp.arange(values.shape[-1], dtype=jnp.int32)
+    tops = []
+    indices = []
+    for _ in range(k):
+        best = jnp.argmax(remaining, axis=-1).astype(jnp.int32)  # first max on ties
+        tops.append(jnp.take_along_axis(values, best[:, None], axis=-1)[:, 0])
+        indices.append(best)
+        remaining = jnp.where(columns[None, :] == best[:, None], -jnp.inf, remaining)
+    return jnp.stack(tops, axis=-1), jnp.stack(indices, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("beam_width", "blank_index"))
 def beam_search_padded(
     log_emissions: jnp.ndarray,
@@ -394,7 +418,7 @@ def beam_search_padded(
             jnp.where(match, beam_ids[None, None, None, :], 0), axis=3
         )
 
-        top_total, chosen = jax.lax.top_k(cand_total, k_beams)  # [B, K]
+        top_total, chosen = _top_k_small(cand_total, k_beams)  # [B, K]
         parent_slot = (chosen // classes).astype(jnp.int32)
         token = (chosen % classes).astype(jnp.int32)
         is_stay = token == blank_index
@@ -435,7 +459,9 @@ def beam_search_padded(
 
     emissions_seq = jnp.transpose(log_emissions.astype(jnp.float32), (1, 0, 2))
     steps = jnp.arange(time, dtype=jnp.int32)
-    final_state, (parents, emitted) = jax.lax.scan(step, init_state(), (emissions_seq, steps))
+    final_state, (parents, emitted) = jax.lax.scan(
+        step, init_state(), (emissions_seq, steps), unroll=_SCAN_UNROLL
+    )
     _h1, _h2, _last, logp_b, logp_nb = final_state
     scores = jnp.logaddexp(logp_b, logp_nb)
     return parents, emitted, scores

@@ -130,6 +130,22 @@ PRECISION_PRESETS = {
     "bfloat16": (jnp.bfloat16, None, "highest"),
 }
 
+#: The serving preset ``Estimator.restore`` ships when the caller specifies
+#: neither ``precision`` nor ``dtype``. "mixed" runs encoder matmuls in bf16
+#: with the decision-relevant tail (classifier logits, composition/allophone
+#: matmuls, log_softmax) in f32 — the TPU translation of the precision class
+#: the reference itself serves in: its package enables TF32 matmul truncation
+#: globally on import (reference network/__init__.py:1-6), so reference
+#: inference was never full-precision f32 either. Measured on one v5e chip:
+#: 3,383 audio-s/s single-head (identical to bf16's 3,390) vs 1,126 for
+#: float32_high and far less for full f32 (which cannot finish a bench pass).
+#: Decision-level safety on trained logits (parity_check.py decisions
+#: --train-steps 150): 0.063% argmax flips; label-PER delta vs the f32 decode
+#: is recorded in README.md. ``precision="float32_high"`` restores
+#: decision-exact serving (0.000% flips, trained and random) one flag away;
+#: ``"float32"`` is the bit-level debugging preset.
+DEFAULT_SERVING_PRECISION = "mixed"
+
 
 def resolve_precision(precision: str):
     try:
@@ -199,7 +215,7 @@ class Estimator:
         wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
         load_pretrained_weights: bool = True,
         seed: int = 0,
-        dtype=jnp.float32,
+        dtype=None,
         remat: bool = False,
         precision: Optional[str] = None,
     ) -> "Estimator":
@@ -207,6 +223,14 @@ class Estimator:
         f32_matmul_precision = "highest"
         if precision is not None:
             dtype, head_dtype, f32_matmul_precision = resolve_precision(precision)
+        elif dtype is None:
+            # The config's AMP flag (reference config.py:830, torch.cuda.amp in
+            # estimator.py:803-806) maps to the "mixed" preset on TPU: bf16
+            # matmul regions with the loss-relevant tail (logits, log_softmax,
+            # CTC) in f32 — autocast's own policy keeps softmax/loss in f32 too.
+            dtype, head_dtype, f32_matmul_precision = resolve_precision(
+                "mixed" if config.nn.mixed_precision else "float32"
+            )
         built = build_model(
             config.nn,
             feature_size,
@@ -367,7 +391,7 @@ class Estimator:
     def restore(
         cls,
         checkpoint: Checkpoint | str,
-        dtype=jnp.float32,
+        dtype=None,
         wav2vec2_architecture: Optional[Wav2Vec2Architecture] = None,
         remat: bool = False,
         precision: Optional[str] = None,
@@ -378,14 +402,19 @@ class Estimator:
         indexer rebuilt from the embedded state (reference estimator.py:1085-1126).
 
         ``precision`` selects a serving preset (see :data:`PRECISION_PRESETS`);
-        the default is full f32 with HIGHEST matmuls, matching the reference's
-        f32 inference.
+        with neither ``precision`` nor ``dtype`` given, the shipped default is
+        :data:`DEFAULT_SERVING_PRECISION` ("mixed" — see its rationale there).
+        Pass ``precision="float32_high"`` for decision-exact serving or
+        ``"float32"`` for bit-level reference-exact numerics; an explicit
+        ``dtype`` keeps the old single-dtype behavior.
 
         Reference-API compatibility: the second positional argument may be a torch
         device string ("cpu"/"cuda"/...) — JAX manages placement, so it is accepted
         and ignored rather than treated as a dtype."""
         if isinstance(dtype, str):
-            dtype = jnp.float32
+            dtype = None
+        if dtype is None and precision is None:
+            precision = DEFAULT_SERVING_PRECISION
         if not isinstance(checkpoint, Checkpoint):
             checkpoint = checkpoint_module.load_checkpoint(checkpoint)
 

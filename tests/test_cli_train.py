@@ -49,7 +49,7 @@ def test_train_cli_end_to_end(tmp_path):
     # Restorable end to end.
     from allophant_tpu.training import Estimator
 
-    estimator, indexer = Estimator.restore(checkpoint)
+    estimator, indexer = Estimator.restore(checkpoint, precision="float32")
     assert "phoneme" in estimator.classes
     assert estimator.training_state is not None
 

@@ -201,7 +201,7 @@ class TestReferenceCheckpointRestore:
         import torch
 
         path, torch_encoder, torch_heads, *_ = _make_reference_checkpoint(tmp_path)
-        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH, precision="float32")
         assert estimator.epoch.epoch == 3
         assert estimator.sample_rate == 16000
 
@@ -237,7 +237,7 @@ class TestReferenceCheckpointRestore:
 
     def test_decode_flow(self, tmp_path):
         path, *_ = _make_reference_checkpoint(tmp_path)
-        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH, precision="float32")
         audio = np.random.default_rng(0).standard_normal((1, 800)).astype(np.float32)
         batch = Batch(audio, np.array([800]), 0)
         predictions = estimator.predict(batch)
@@ -259,7 +259,7 @@ class TestReferenceCheckpointRestore:
         path, torch_encoder, torch_heads, composition_weight, build_indexer, _allo = _make_reference_checkpoint(
             tmp_path, composition=True
         )
-        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH, precision="float32")
 
         audio = np.random.default_rng(1).standard_normal((1, 800)).astype(np.float32)
         batch = Batch(audio, np.array([800]), 0)
@@ -319,7 +319,7 @@ class TestHierarchicalAttentionCheckpoint:
         path, torch_encoder, torch_heads, _cw, _idx, _allo = _make_reference_checkpoint(
             tmp_path, attention_heads={"nasal": 3}, phoneme_dependencies=["OUTPUT", "nasal"]
         )
-        estimator, _indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        estimator, _indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH, precision="float32")
 
         rng = np.random.default_rng(5)
         samples = 800
@@ -360,7 +360,7 @@ class TestAllophoneCheckpoint:
         path, torch_encoder, torch_heads, _cw, _idx, allophone_matrices = (
             _make_reference_checkpoint(tmp_path, phoneme_layer="allophones")
         )
-        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        estimator, indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH, precision="float32")
 
         restored = np.asarray(
             estimator.variables["params"]["projection"]["allophone"]["allophone_matrices"]
@@ -420,7 +420,7 @@ class TestNativeCheckpoint:
 
         path = str(tmp_path / "native.ckpt")
         estimator.save(path, phonetic_indexer_state=indexer.state())
-        restored, restored_indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH)
+        restored, restored_indexer = Estimator.restore(path, wav2vec2_architecture=TINY_ARCH, precision="float32")
 
         assert restored.epoch.epoch == 7
         assert restored_indexer.phonemes.tolist() == indexer.phonemes.tolist()
@@ -465,7 +465,7 @@ class TestOrbaxCheckpoint:
             ),
             directory,
         )
-        restored_estimator, restored_indexer = Estimator.restore(directory)
+        restored_estimator, restored_indexer = Estimator.restore(directory, precision="float32")
         import jax
 
         for original, loaded in zip(

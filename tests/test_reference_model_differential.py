@@ -250,7 +250,7 @@ def _compare_predictions(reference_model, path, seed=3, target_inventory=None, a
     tiny_arch = Wav2Vec2Architecture(
         **TINY, hidden_dropout=0.0, activation_dropout=0.0, attention_dropout=0.0
     )
-    estimator, indexer = Estimator.restore(path, wav2vec2_architecture=tiny_arch)
+    estimator, indexer = Estimator.restore(path, wav2vec2_architecture=tiny_arch, precision="float32")
 
     rng = np.random.default_rng(seed)
     samples = 800
@@ -418,7 +418,7 @@ def test_from_scratch_transformer_matches_reference(ref_network, tmp_path, varia
     from allophant_tpu.data.batch import Batch
     from allophant_tpu.training import Estimator
 
-    estimator, _restored_indexer = Estimator.restore(path)
+    estimator, _restored_indexer = Estimator.restore(path, precision="float32")
 
     rng = np.random.default_rng(9)
     frames = 40

@@ -181,7 +181,7 @@ class TestResume:
             phonetic_indexer_state=manager.processor.indexer_state(),
         )
 
-        restored, _indexer = Estimator.restore(checkpoint_path)
+        restored, _indexer = Estimator.restore(checkpoint_path, precision="float32")
         assert restored.training_state is not None
         restored.config.nn.maximum_iterations = 2
 
@@ -273,7 +273,7 @@ class TestGracefulInterrupt:
             optimizer_state=state_bytes,
             phonetic_indexer_state=manager.processor.indexer_state(),
         )
-        restored, _indexer = Estimator.restore(checkpoint_path)
+        restored, _indexer = Estimator.restore(checkpoint_path, precision="float32")
         resumed_run = restored.train(manager, skip_batches=int(restored.epoch.step or 0))
         resumed_results = list(resumed_run)
         assert resumed_results[-1][0] == TrainingStatus.FINISHED

@@ -35,8 +35,10 @@ PRESETS = {
 
 
 def main() -> None:
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    seconds = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    which = [name for name in sys.argv[1:] if name in PRESETS] or list(PRESETS)
+    numeric = [arg for arg in sys.argv[1:] if arg not in PRESETS]
+    batch = int(numeric[0]) if numeric else 128
+    seconds = float(numeric[1]) if len(numeric) > 1 else 10.0
     samples = int(16_000 * seconds)
 
     rng = np.random.default_rng(0)
@@ -44,7 +46,8 @@ def main() -> None:
     lengths = jnp.full((batch,), samples, dtype=jnp.int32)
     language_ids = jnp.zeros((batch,), dtype=jnp.int32)
 
-    for name, kwargs in PRESETS.items():
+    for name in which:
+        kwargs = PRESETS[name]
         config, indexer, built = build_flagship(**kwargs)
         variables = built.init(jax.random.PRNGKey(0), sample_batch_size=1, sample_length=3200)
         model = built.model
@@ -66,8 +69,16 @@ def main() -> None:
                 np.asarray(tokens)
             return (time.perf_counter() - start) / num_batches
 
-        run(1)  # warmup/compile
-        elapsed = min(run(4) for _ in range(4))
+        warmup = run(1)  # warmup/compile (includes compile time)
+        probe = run(1)
+        # Slow presets (full f32 runs minutes per batch) get fewer batches per
+        # rep so one pass through all presets stays bounded.
+        if probe > 10.0:
+            elapsed = probe
+        elif probe > 2.0:
+            elapsed = min(run(2) for _ in range(2))
+        else:
+            elapsed = min(run(4) for _ in range(4))
         rtf = batch * seconds / elapsed
         print(f"[{name:>12s}] {rtf:8.1f} audio-s/s ({rtf / 50:.2f}x of 50x target)", flush=True)
 

@@ -280,7 +280,12 @@ def _overfit_flagship(steps: int, batch: int, seconds: float, seed: int):
         f"({time.perf_counter() - start:.0f}s)",
         flush=True,
     )
-    return params, variables, (audio[0], lengths[0], language_ids[0])
+    labels = {
+        name[len("labels_") :]: np.asarray(value[0])
+        for name, value in micro.items()
+        if name.startswith("labels_")
+    }
+    return params, variables, (audio[0], lengths[0], language_ids[0]), labels
 
 
 def check_decisions(
@@ -322,9 +327,10 @@ def check_decisions(
 
     config, indexer, built32 = build_flagship(dtype=jnp.float32)
 
+    labels = None
     if train_steps:
-        params, other_variables, (audio_np, lengths_np, language_ids_np) = _overfit_flagship(
-            train_steps, batch, seconds, seed
+        params, other_variables, (audio_np, lengths_np, language_ids_np), labels = (
+            _overfit_flagship(train_steps, batch, seconds, seed)
         )
         variables = {**other_variables, "params": params}
         audio = jnp.asarray(audio_np)
@@ -374,6 +380,42 @@ def check_decisions(
         collapsed = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
         return [int(token) for token in collapsed if token != 0]
 
+    def label_error_rates(outputs):
+        """Actual per-head PER against the overfit batch's labels — the metric
+        BASELINE's <=0.1% absolute gate is stated in, unlike the decode-vs-decode
+        disagreement (which bounds it pessimistically: disagreeing tokens are
+        errors in one decode or the other, rarely both)."""
+        if labels is None:
+            return None
+        rates = {}
+        total_edits = 0
+        total_tokens = 0
+        for name in sorted(outputs):
+            # The allophone layer emits an unlabeled "phone" track alongside
+            # "phoneme" (predict-mode passthrough); only labeled heads score.
+            if name not in labels:
+                continue
+            head_labels = labels[name]
+            edits = 0
+            tokens = 0
+            for row in range(batch):
+                reference = [int(t) for t in head_labels[row]]
+                hypothesis = greedy_tokens(outputs[name][row], int(frame_lengths[row]))
+                edits += levensthein(reference, hypothesis)
+                tokens += len(reference)
+            rates[name] = edits / max(tokens, 1)
+            total_edits += edits
+            total_tokens += tokens
+        rates["__all__"] = total_edits / max(total_tokens, 1)
+        return rates
+
+    rates32 = label_error_rates(outputs32)
+    if rates32 is not None:
+        print(
+            f"label PER (f32 ground truth decode): all-heads {100 * rates32['__all__']:.3f}%,"
+            f" phoneme {100 * rates32['phoneme']:.3f}%"
+        )
+
     for preset_name, kwargs in presets.items():
         _config_fast, _indexer_fast, built = build_flagship(**kwargs)
         outputs, _ = forward(built)
@@ -421,6 +463,15 @@ def check_decisions(
             f"{100 * total_edits / max(total_reference_tokens, 1):.3f}%, "
             f"worst head {worst[1]} at {100 * worst[0]:.3f}%"
         )
+        rates = label_error_rates(outputs)
+        if rates is not None:
+            print(
+                f"[{preset_name:>12s}] label PER: all-heads"
+                f" {100 * rates['__all__']:.3f}%"
+                f" ({100 * (rates['__all__'] - rates32['__all__']):+.3f}% vs f32),"
+                f" phoneme {100 * rates['phoneme']:.3f}%"
+                f" ({100 * (rates['phoneme'] - rates32['phoneme']):+.3f}% vs f32)"
+            )
     return 0
 
 
@@ -430,7 +481,9 @@ def check_checkpoint(path: str) -> int:
     from allophant_tpu.data.batch import Batch
     from allophant_tpu.training import Estimator
 
-    estimator, indexer = Estimator.restore(path)
+    # Reference-parity smoke check: the bit-level f32 preset, not the shipped
+    # serving default.
+    estimator, indexer = Estimator.restore(path, precision="float32")
     print(f"classes ({len(estimator.classes)}): {', '.join(estimator.classes)}")
     print(f"phoneme inventory size: {len(indexer.phonemes)}")
     leaves = jax.tree_util.tree_leaves(estimator.variables["params"])
@@ -574,6 +627,9 @@ def check_all(
             if not os.path.isfile(predictions_path):
                 predict_args = [
                     "predict", corpus_path, checkpoint,
+                    # The 0.1%-absolute parity gate runs the reference-exact
+                    # f32 preset, not the shipped serving default.
+                    "--precision", "float32",
                     "-t", dataset_type, "-o", predictions_path, "--no-progress",
                 ]
                 if batch_size is not None:
