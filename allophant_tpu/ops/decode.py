@@ -467,6 +467,26 @@ def beam_search_padded(
     return parents, emitted, scores
 
 
+def beam_search_device(
+    log_emissions: jnp.ndarray,
+    lengths: jnp.ndarray,
+    beam_width: int = 4,
+    blank_index: int = 0,
+):
+    """Routes the batched prefix beam search to the fastest available device
+    implementation: the single-kernel Pallas search when the backend is a TPU
+    and the shape fits its VMEM plan (integer-exact against the scan version,
+    ~an order of magnitude less per-step dispatch overhead), else the
+    ``lax.scan`` formulation. Same contract as :func:`beam_search_padded`."""
+    batch, time, classes = log_emissions.shape
+    if jax.default_backend() in ("tpu", "axon"):
+        from allophant_tpu.ops.beam_kernel import beam_search_padded_pallas, plan_beam_kernel
+
+        if plan_beam_kernel(batch, time, classes) is not None:
+            return beam_search_padded_pallas(log_emissions, lengths, beam_width, blank_index)
+    return beam_search_padded(log_emissions, lengths, beam_width, blank_index)
+
+
 class DeviceBeamCTCDecoder:
     """Flash-style batched beam decoder: scoring on device, O(T) backtrace on host.
 
@@ -486,7 +506,7 @@ class DeviceBeamCTCDecoder:
             lengths_array = jnp.full((batch,), time, jnp.int32)
         else:
             lengths_array = jnp.asarray(lengths, jnp.int32)
-        parents, emitted, scores = beam_search_padded(
+        parents, emitted, scores = beam_search_device(
             log_emissions, lengths_array, self._beam_width, self._blank_index
         )
         parents = np.asarray(parents)

@@ -84,7 +84,7 @@ def main() -> None:
         tracks greedy — the configuration used to measure PER with beam decoding.
         Scoring runs on device; prefix reconstruction is a vectorized host
         backtrace over int32 arrays (see ``backtrace_beams``)."""
-        from allophant_tpu.ops.decode import beam_search_padded
+        from allophant_tpu.ops.decode import beam_search_device
 
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
         attribute_tokens = []
@@ -100,7 +100,7 @@ def main() -> None:
         log_probs = jax.nn.log_softmax(
             predictions.outputs["phoneme"].astype(jnp.float32), axis=-1
         )
-        parents, emitted, scores = beam_search_padded(
+        parents, emitted, scores = beam_search_device(
             log_probs, predictions.lengths, beam_width=BEAM_WIDTH
         )
         return (

@@ -490,6 +490,50 @@ class TestDeviceBeamDeadSlots:
             assert hypothesis.score > -1e15
 
 
+class TestBeamKernel:
+    """Single-kernel Pallas beam search (ops/beam_kernel.py): integer-exact
+    against the lax.scan formulation it replaces on TPU (interpret mode here;
+    the device path is routed by decode.beam_search_device)."""
+
+    def _compare(self, batch, time, classes, beam_width, lengths, seed, scale=2.0):
+        import jax
+
+        from allophant_tpu.ops.beam_kernel import beam_search_padded_pallas
+        from allophant_tpu.ops.decode import beam_search_padded
+
+        rng = np.random.default_rng(seed)
+        logits = rng.standard_normal((batch, time, classes)).astype(np.float32) * scale
+        log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        expected = beam_search_padded(log_probs, lengths, beam_width=beam_width)
+        got = beam_search_padded_pallas(
+            log_probs, lengths, beam_width=beam_width, block_rows=2, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(expected[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(expected[1]), np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(expected[2]), np.asarray(got[2]), atol=1e-4)
+
+    def test_matches_scan_search(self):
+        self._compare(4, 48, 12, 4, [48, 31, 9, 1], seed=0)
+
+    def test_matches_scan_near_uniform_merging(self):
+        # Near-uniform emissions maximize prefix merges (the hash-collision path).
+        self._compare(4, 32, 5, 4, [32, 32, 17, 32], seed=1, scale=0.3)
+
+    def test_matches_scan_zero_length_rows(self):
+        self._compare(2, 16, 7, 3, [0, 16], seed=2)
+
+    def test_plan_fallback(self):
+        from allophant_tpu.ops.beam_kernel import plan_beam_kernel
+
+        # Bench shape fits with the full block.
+        assert plan_beam_kernel(128, 512, 41) == 8
+        # Full-Allophoible-scale class counts shrink the block instead of failing.
+        assert plan_beam_kernel(128, 512, 2400) == 1
+        # Absurd shapes fall back to the scan implementation.
+        assert plan_beam_kernel(128, 16384, 2400) is None
+
+
 class TestZeroMeanUnitVarNorm:
     def test_zero_length_filler_rows_keep_gradients_finite(self):
         """Batch-padding filler rows (length 0) must not inject NaNs: an

@@ -65,8 +65,26 @@ def main() -> None:
 
     greedy_ms = timed(greedy, log_probs, frame_lengths) * 1e3
     beam_ms = timed(beam, log_probs, frame_lengths) * 1e3
-    print(f"device greedy  [B={batch} T={time_steps} C={classes}]: {greedy_ms:7.2f} ms")
-    print(f"device beam K4 [B={batch} T={time_steps} C={classes}]: {beam_ms:7.2f} ms")
+    print(f"device greedy     [B={batch} T={time_steps} C={classes}]: {greedy_ms:7.2f} ms")
+    print(f"device beam scan  [B={batch} T={time_steps} C={classes}]: {beam_ms:7.2f} ms")
+
+    from allophant_tpu.ops.beam_kernel import beam_search_padded_pallas
+
+    beam_pallas = jax.jit(
+        lambda lp, fl: beam_search_padded_pallas(lp, fl, beam_width=beam_width)
+    )
+    try:
+        pallas_ms = timed(beam_pallas, log_probs, frame_lengths) * 1e3
+        print(f"device beam pallas[B={batch} T={time_steps} C={classes}]: {pallas_ms:7.2f} ms")
+        scan_out = jax.block_until_ready(beam(log_probs, frame_lengths))
+        kernel_out = jax.block_until_ready(beam_pallas(log_probs, frame_lengths))
+        exact = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(scan_out[:2], kernel_out[:2])
+        ) and np.allclose(np.asarray(scan_out[2]), np.asarray(kernel_out[2]), atol=1e-4)
+        print(f"kernel-vs-scan on-device agreement: {exact}")
+    except Exception as error:  # noqa: BLE001
+        print(f"pallas beam FAILED: {str(error).splitlines()[0][:160]}")
 
     # Host backtrace (bench.py's vectorized version).
     sys.path.insert(0, _REPO_ROOT)
