@@ -122,6 +122,11 @@ def main() -> None:
         # variance; only slow within-process drift is uncontrolled).
         for name, save_names in [
             ("remat24-base", REMAT_SAVE_NAMES_BASE),
+            # Drop the three saved qkv tiles (3·D of the 8·D-per-token saved
+            # set): backward re-runs the cheap projection matmuls, stacking
+            # traffic drops 37% — a middle point between BASE and save-nothing
+            # aimed at the HBM-bound tail.
+            ("remat24-lean", ("w2v2_ffn_hidden", "w2v2_attn_context")),
             ("remat24-minimal", ()),
         ]:
             run = make_runner(1, 24, seconds, rng, save_names)
@@ -165,8 +170,45 @@ def main() -> None:
         for name, architecture in (("dropout-0.1", default), ("dropout-0", dropout_free)):
             variants[name] = make_runner(2, 8, seconds, rng, wav2vec2_architecture=architecture)
             print(f"[{name}] compiled: {variants[name]():.1f}s first step", flush=True)
+    elif axis == "layernorm":
+        # Upper-bounds the win of ANY fused LayerNorm(+residual) kernel
+        # (VERDICT r3 weak #4's untried lever): variant B replaces every
+        # encoder LayerNorm with an identity module (same parameter tree, no
+        # normalization math or stats traffic). Whatever a hand-written Pallas
+        # LN could save is at most the delta measured here. Numerics diverge,
+        # but the step's compute graph shape (CTC scan iterations, dropout
+        # draws, matmuls) is value-independent, so the timing comparison holds.
+        import flax.linen as flax_nn
+
+        real_layer_norm = flax_nn.LayerNorm
+
+        class _IdentityLayerNorm(flax_nn.Module):
+            epsilon: float = 1e-5
+            dtype: object = None
+            use_bias: bool = True
+            use_scale: bool = True
+
+            @flax_nn.compact
+            def __call__(self, x):
+                self.param("scale", flax_nn.initializers.ones, (x.shape[-1],))
+                self.param("bias", flax_nn.initializers.zeros, (x.shape[-1],))
+                return x
+
+        variants["layernorm-real"] = make_runner(2, 8, seconds, rng)
+        print(f"[layernorm-real] compiled: {variants['layernorm-real']():.1f}s first step", flush=True)
+        flax_nn.LayerNorm = _IdentityLayerNorm
+        try:
+            variants["layernorm-identity"] = make_runner(2, 8, seconds, rng)
+            print(
+                f"[layernorm-identity] compiled: {variants['layernorm-identity']():.1f}s first step",
+                flush=True,
+            )
+        finally:
+            flax_nn.LayerNorm = real_layer_norm
     else:
-        raise SystemExit(f"unknown axis {axis!r} (remat | remat24 | unroll | shape | dropout)")
+        raise SystemExit(
+            f"unknown axis {axis!r} (remat | remat24 | unroll | shape | dropout | layernorm)"
+        )
 
     times = {name: [] for name in variants}
     for _ in range(rounds):
