@@ -487,6 +487,27 @@ def beam_search_device(
     return beam_search_padded(log_emissions, lengths, beam_width, blank_index)
 
 
+def backtrace_beams(parents, emitted, scores, lengths):
+    """Vectorized n-best prefix reconstruction: one backward pass over time on
+    [B, K] int arrays — no per-(row, beam, step) Python loops (a naive
+    backtrace costs B x K x T Python iterations per batch, ~100 ms at serving
+    shapes). Returns ``(collected [T, B, K], scores [B, K])`` where
+    ``collected[t, b, k]`` is the token hypothesis ``k`` of row ``b`` emitted
+    at step ``t`` (-1 = none); a hypothesis's token sequence is its column's
+    non-negative entries in time order."""
+    time_steps, batch_rows, k_beams = emitted.shape
+    rows = np.arange(batch_rows)[:, None]
+    cursor = np.tile(np.arange(k_beams, dtype=np.int64)[None, :], (batch_rows, 1))
+    collected = np.full((time_steps, batch_rows, k_beams), -1, np.int64)
+    lengths = np.asarray(lengths)
+    for t in range(time_steps - 1, -1, -1):
+        valid = t < lengths[:, None]
+        token = emitted[t, rows, cursor]
+        collected[t] = np.where(valid, token, -1)
+        cursor = np.where(valid, parents[t, rows, cursor], cursor)
+    return collected, np.asarray(scores)
+
+
 class DeviceBeamCTCDecoder:
     """Flash-style batched beam decoder: scoring on device, O(T) backtrace on host.
 
@@ -509,10 +530,10 @@ class DeviceBeamCTCDecoder:
         parents, emitted, scores = beam_search_device(
             log_emissions, lengths_array, self._beam_width, self._blank_index
         )
-        parents = np.asarray(parents)
-        emitted = np.asarray(emitted)
-        scores = np.asarray(scores)
-        lengths_host = np.asarray(lengths_array)
+        collected, scores = backtrace_beams(
+            np.asarray(parents), np.asarray(emitted), np.asarray(scores),
+            np.asarray(lengths_array),
+        )
 
         outputs: List[List[CTCHypothesis]] = []
         for row in range(batch):
@@ -524,23 +545,15 @@ class DeviceBeamCTCDecoder:
             order = live if live else list(order[:1])
             hypotheses = []
             for beam in order:
-                sequence: List[int] = []
-                timesteps: List[int] = []
-                cursor = int(beam)
-                for t in range(int(lengths_host[row]) - 1, -1, -1):
-                    token = int(emitted[t, row, cursor])
-                    if token >= 0:
-                        sequence.append(token)
-                        timesteps.append(t + 1)
-                    cursor = int(parents[t, row, cursor])
-                sequence.reverse()
-                timesteps.reverse()
+                sequence = collected[:, row, beam]
+                mask = sequence >= 0
+                timesteps = np.nonzero(mask)[0] + 1
                 hypotheses.append(
                     CTCHypothesis(
-                        np.asarray(sequence, dtype=np.int64),
+                        sequence[mask].astype(np.int64),
                         [],
                         float(scores[row, beam]),
-                        np.asarray(timesteps, dtype=np.int64),
+                        timesteps.astype(np.int64),
                     )
                 )
             outputs.append(hypotheses)

@@ -659,6 +659,51 @@ def load_reference_dataset_processing():
 _predictions_cache: types.ModuleType | None = None
 
 
+def _ensure_torchaudio_decoder_stub() -> None:
+    """Installs (or EXTENDS) the torchaudio stub with ``models.decoder``.
+
+    Different differential suites stub different torchaudio corners — the
+    corpus/audio tests install ``transforms``/``load``, this one
+    ``models.decoder`` — and whichever fixture runs first used to win the
+    ``sys.modules['torchaudio']`` slot wholesale: a full-suite run whose
+    corpus tests preceded the decode tests then failed
+    ``from torchaudio.models import decoder`` inside the reference's real
+    predictions.py (the slim stub is a bare module, not a package). Every
+    installer is therefore additive over one shared stub module."""
+    from typing import Any, List, NamedTuple
+
+    torchaudio = sys.modules.get("torchaudio")
+    if torchaudio is None:
+        torchaudio = _stub_module("torchaudio")
+        sys.modules["torchaudio"] = torchaudio
+    if "torchaudio.models.decoder" in sys.modules:
+        return
+    models = _stub_module("torchaudio.models")
+    decoder_module = _stub_module("torchaudio.models.decoder")
+
+    class CTCHypothesis(NamedTuple):
+        # Field names/order per torchaudio.models.decoder.CTCHypothesis,
+        # which the reference constructs positionally (predictions.py:206).
+        tokens: Any
+        words: List[str]
+        score: Any
+        timesteps: Any
+
+    class CTCDecoder:  # annotation-only
+        pass
+
+    def ctc_decoder(*_args, **_kwargs):
+        raise RuntimeError("flashlight beam decoder is unavailable in this image")
+
+    decoder_module.CTCHypothesis = CTCHypothesis
+    decoder_module.CTCDecoder = CTCDecoder
+    decoder_module.ctc_decoder = ctc_decoder
+    models.decoder = decoder_module
+    torchaudio.models = models
+    sys.modules["torchaudio.models"] = models
+    sys.modules["torchaudio.models.decoder"] = decoder_module
+
+
 def load_reference_predictions():
     """Returns the reference's *real* ``predictions.py`` module (greedy CTC
     decoder, prediction format constants, JSONL readers).
@@ -677,38 +722,18 @@ def load_reference_predictions():
     load_reference_phonetics()
     _ensure_marshmallow_dataclass_stub()
 
-    if "torchaudio" not in sys.modules:
-        from typing import Any, List, NamedTuple
+    _ensure_torchaudio_decoder_stub()
 
-        torchaudio = _stub_module("torchaudio")
-        models = _stub_module("torchaudio.models")
-        decoder_module = _stub_module("torchaudio.models.decoder")
-
-        class CTCHypothesis(NamedTuple):
-            # Field names/order per torchaudio.models.decoder.CTCHypothesis,
-            # which the reference constructs positionally (predictions.py:206).
-            tokens: Any
-            words: List[str]
-            score: Any
-            timesteps: Any
-
-        class CTCDecoder:  # annotation-only
-            pass
-
-        def ctc_decoder(*_args, **_kwargs):
-            raise RuntimeError("flashlight beam decoder is unavailable in this image")
-
-        decoder_module.CTCHypothesis = CTCHypothesis
-        decoder_module.CTCDecoder = CTCDecoder
-        decoder_module.ctc_decoder = ctc_decoder
-        models.decoder = decoder_module
-        torchaudio.models = models
-        sys.modules["torchaudio"] = torchaudio
-        sys.modules["torchaudio.models"] = models
-        sys.modules["torchaudio.models.decoder"] = decoder_module
-
+    # Additive over whatever mashumaro corners another suite already stubbed
+    # (the corpus-interop fixtures install mixins.msgpack): first-wins
+    # replacement of the root module broke full-suite ordering.
     if "mashumaro" not in sys.modules:
-        mashumaro = _stub_module("mashumaro")
+        sys.modules["mashumaro"] = _stub_module("mashumaro")
+    if "mashumaro.mixins" not in sys.modules:
+        sys.modules["mashumaro.mixins"] = _stub_module("mashumaro.mixins")
+    mashumaro = sys.modules["mashumaro"]
+    mixins = sys.modules["mashumaro.mixins"]
+    if "mashumaro.mixins.json" not in sys.modules:
         mashumaro_types = _stub_module("mashumaro.types")
 
         class SerializationStrategy:
@@ -716,7 +741,6 @@ def load_reference_predictions():
                 pass
 
         mashumaro_types.SerializationStrategy = SerializationStrategy
-        mixins = _stub_module("mashumaro.mixins")
         mixins_json = _stub_module("mashumaro.mixins.json")
 
         class DataClassJSONMixin:
