@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from allophant_tpu.ops.decode import _HASH_P1, _HASH_P2, _NEG_INF
 
@@ -40,8 +41,8 @@ _PACK_BASE = 1 << 16
 
 
 def _beam_kernel(
-    emissions_ref,
     lengths_ref,
+    emissions_ref,
     packed_ref,
     scores_ref,
     *,
@@ -58,7 +59,13 @@ def _beam_kernel(
     c_idx = lane - k_idx * classes
     blank_col = c_idx == blank
     class_iota = jax.lax.broadcasted_iota(jnp.int32, (b, classes), 1)
-    lengths = lengths_ref[...]  # [b, 1] i32
+    # Lengths ride in SMEM (scalar prefetch): a [b, 1] VMEM block would need
+    # b % 8 == 0, which the single-row plan for large class counts violates.
+    base_row = pl.program_id(0) * b
+    lengths = jnp.concatenate(
+        [jnp.full((1, 1), lengths_ref[base_row + i], jnp.int32) for i in range(b)],
+        axis=0,
+    )  # [b, 1] i32
     neg_inf = np.float32(_NEG_INF)
 
     def per_k(field, extract):
@@ -201,7 +208,7 @@ def _beam_kernel(
             new_columns["nb"].append(jnp.where(active, slot_nb, logp_nb[:, slot : slot + 1]))
 
         packed = jnp.concatenate(packed_cols, axis=-1)  # [b, K] i32
-        packed_ref[pl.ds(t, 1), :, :] = packed[None]
+        packed_ref[:, pl.ds(t, 1), :] = packed[:, None, :]
         return (
             jnp.concatenate(new_columns["h1"], axis=-1),
             jnp.concatenate(new_columns["h2"], axis=-1),
@@ -222,7 +229,7 @@ def _beam_kernel(
     )
     final = jax.lax.fori_loop(0, time, body, init)
     _h1, _h2, _last, logp_b, logp_nb = final
-    scores_ref[...] = jnp.logaddexp(logp_b, logp_nb)
+    scores_ref[...] = jnp.logaddexp(logp_b, logp_nb)[:, None, :]
 
 
 def plan_beam_kernel(batch: int, time: int, classes: int) -> int | None:
@@ -269,24 +276,30 @@ def beam_search_padded_pallas(
     )
     packed, scores = pl.pallas_call(
         kernel,
-        grid=(batch // block_rows,),
-        in_specs=[
-            pl.BlockSpec((block_rows, time, classes), lambda i: (i, 0, 0)),
-            pl.BlockSpec((block_rows, 1), lambda i: (i, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((time, block_rows, beam_width), lambda i: (0, i, 0)),
-            pl.BlockSpec((block_rows, beam_width), lambda i: (i, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows, time, classes), lambda i, lengths: (i, 0, 0)),
+            ],
+            # Outputs keep the blocked batch dim LEADING: Pallas restricts the
+            # last two block dims (divisible by 8/128 or full), which a
+            # one-row block would violate in [T, b, K] layout.
+            out_specs=[
+                pl.BlockSpec((block_rows, time, beam_width), lambda i, lengths: (i, 0, 0)),
+                pl.BlockSpec((block_rows, 1, beam_width), lambda i, lengths: (i, 0, 0)),
+            ],
+        ),
         out_shape=[
-            jax.ShapeDtypeStruct((time, batch, beam_width), jnp.int32),
-            jax.ShapeDtypeStruct((batch, beam_width), jnp.float32),
+            jax.ShapeDtypeStruct((batch, time, beam_width), jnp.int32),
+            jax.ShapeDtypeStruct((batch, 1, beam_width), jnp.float32),
         ],
         interpret=interpret,
     )(
+        lengths.astype(jnp.int32),
         log_emissions.astype(jnp.float32),
-        lengths.astype(jnp.int32).reshape(batch, 1),
     )
+    packed = jnp.transpose(packed, (1, 0, 2))  # -> [T, B, K], the scan contract
     parents = packed // _PACK_BASE
     emitted = packed - parents * _PACK_BASE - 1
-    return parents, emitted, scores
+    return parents, emitted, scores[:, 0, :]

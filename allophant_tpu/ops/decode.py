@@ -482,7 +482,14 @@ def beam_search_device(
     if jax.default_backend() in ("tpu", "axon"):
         from allophant_tpu.ops.beam_kernel import beam_search_padded_pallas, plan_beam_kernel
 
-        if plan_beam_kernel(batch, time, classes) is not None:
+        # Routing is measured, not assumed (v5e, T=512, K=4, fence-inclusive
+        # ms): C=41/B=128 kernel 42 vs scan 66; C=128/B=64 33 vs 56;
+        # C=512/B=64 45 vs 52; C=2400/B=16 85 vs 46. The kernel wins while its
+        # VMEM plan keeps >=2 batch rows per grid cell; at one row per cell
+        # (full-Allophoible class counts) the scan's larger per-op tensors
+        # amortize dispatch better than the kernel's serialized cells.
+        plan = plan_beam_kernel(batch, time, classes)
+        if plan is not None and plan >= 2:
             return beam_search_padded_pallas(log_emissions, lengths, beam_width, blank_index)
     return beam_search_padded(log_emissions, lengths, beam_width, blank_index)
 
