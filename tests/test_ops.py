@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from allophant_tpu.ops.ctc import ctc_loss_sum, ctc_loss_sum_heads, sequence_cross_entropy_sum
@@ -532,6 +533,33 @@ class TestBeamKernel:
         assert plan_beam_kernel(128, 512, 2400) == 1
         # Absurd shapes fall back to the scan implementation.
         assert plan_beam_kernel(128, 16384, 2400) is None
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="Mosaic compile/execution path; run with ALLOPHANT_TEST_TPU=1",
+    )
+    @pytest.mark.parametrize(
+        "batch,time,classes",
+        [(16, 256, 41), (8, 256, 600)],  # 8-row and (VMEM-shrunk) 2-row plans
+    )
+    def test_device_matches_scan(self, batch, time, classes):
+        """On-device Mosaic execution agrees integer-exactly with the scan
+        (interpret mode can hide lowering bugs: i1 selects, scatter, block
+        rules — all hit during bring-up)."""
+        import jax
+
+        from allophant_tpu.ops.beam_kernel import beam_search_padded_pallas
+        from allophant_tpu.ops.decode import beam_search_padded
+
+        rng = np.random.default_rng(5)
+        logits = rng.standard_normal((batch, time, classes)).astype(np.float32) * 2
+        log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+        lengths = jnp.asarray(rng.integers(1, time + 1, batch).astype(np.int32))
+        expected = jax.block_until_ready(beam_search_padded(log_probs, lengths, beam_width=4))
+        got = jax.block_until_ready(beam_search_padded_pallas(log_probs, lengths, beam_width=4))
+        np.testing.assert_array_equal(np.asarray(expected[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(expected[1]), np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(expected[2]), np.asarray(got[2]), atol=1e-4)
 
 
 class TestZeroMeanUnitVarNorm:
