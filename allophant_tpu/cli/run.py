@@ -868,8 +868,10 @@ def make_parser() -> ArgumentParser:
         help="Static audio length per utterance in seconds (at 16 kHz)",
     )
     export_parser.add_argument(
-        "--decode", choices=["greedy", "log_probs"], default="greedy",
-        help="On-device greedy CTC tokens per head, or per-head log-probs",
+        "--decode", default="greedy",
+        help="'greedy' (on-device CTC tokens per head), 'log_probs' (per-head"
+        " log-probs), or 'beam[width]' (greedy attributes + device prefix beam"
+        " on the phoneme track, e.g. 'beam4')",
     )
     export_parser.add_argument(
         "--bf16", action="store_true", help="Export the bfloat16 compute path"

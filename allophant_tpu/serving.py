@@ -30,14 +30,26 @@ def make_serving_fn(estimator, decode: str = "greedy"):
     with blank-free, collapse-deduplicated token ids per head (ids offset by the
     CTC blank as in the live predict path). ``decode="log_probs"``: returns
     ``({head: log_probs [B, T', C]}, lengths)`` for host-side decoding.
+    ``decode="beam"`` (optionally ``"beam<width>"``, e.g. ``"beam8"``): the
+    phoneme track through the batched device prefix beam search — returns
+    ``(decoded, (parents, emitted, scores), lengths)`` where ``decoded`` holds
+    the greedy attribute tracks and the beam triple feeds the same vectorized
+    host backtrace the live CLI beam path uses
+    (``ops.decode.backtrace_beams``). The scan formulation is exported (not
+    the Pallas kernel) so the artifact stays portable across lowering
+    platforms.
     """
-    if decode not in ("greedy", "log_probs"):
-        raise ValueError(f"Unknown decode mode {decode!r} (greedy | log_probs)")
+    beam_width = None
+    if decode.startswith("beam"):
+        beam_width = int(decode[4:] or 4)
+        decode = "beam"
+    if decode not in ("greedy", "log_probs", "beam"):
+        raise ValueError(f"Unknown decode mode {decode!r} (greedy | log_probs | beam[width])")
     model = estimator.model
     variables = estimator.variables
 
     def serve(audio, lengths, language_ids):
-        from allophant_tpu.ops.decode import greedy_decode_logits
+        from allophant_tpu.ops.decode import beam_search_padded, greedy_decode_logits
 
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
         if decode == "log_probs":
@@ -48,8 +60,16 @@ def make_serving_fn(estimator, decode: str = "greedy"):
             return outputs, predictions.lengths
         decoded = {}
         for name, value in predictions.outputs.items():
+            if decode == "beam" and name == "phoneme":
+                continue
             tokens, _timesteps, counts, _scores = greedy_decode_logits(value, predictions.lengths)
             decoded[name] = (tokens, counts)
+        if decode == "beam":
+            log_probs = jax.nn.log_softmax(
+                predictions.outputs["phoneme"].astype(jnp.float32), axis=-1
+            )
+            beam = beam_search_padded(log_probs, predictions.lengths, beam_width=beam_width)
+            return decoded, beam, predictions.lengths
         return decoded, predictions.lengths
 
     return serve

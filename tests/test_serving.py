@@ -97,7 +97,43 @@ def test_export_shape_mismatch_raises(tiny_estimator, tmp_path):
 
 def test_invalid_decode_mode(tiny_estimator):
     with pytest.raises(ValueError):
-        serving.make_serving_fn(tiny_estimator, decode="beam")
+        serving.make_serving_fn(tiny_estimator, decode="viterbi")
+
+
+def test_beam_export_roundtrip_matches_live_beam(tiny_estimator, tmp_path):
+    """`decode="beam"`: the exported artifact's (parents, emitted, scores)
+    triple, pushed through the production host backtrace, reproduces the live
+    DeviceBeamCTCDecoder's n-best exactly; attribute tracks stay greedy."""
+    from allophant_tpu.ops.decode import DeviceBeamCTCDecoder, backtrace_beams
+
+    batch_size, samples = 2, 640
+    exported = serving.export_transcriber(tiny_estimator, batch_size, samples, decode="beam4")
+    path = str(tmp_path / "transcriber_beam.stablehlo")
+    serving.save_transcriber(exported, path)
+    call = serving.load_transcriber(path)
+
+    audio, lengths, language_ids = _example_batch(batch_size, samples)
+    decoded, (parents, emitted, scores), frame_lengths = call(audio, lengths, language_ids)
+    assert "phoneme" not in decoded and len(decoded) > 0
+
+    collected, scores_host = backtrace_beams(
+        np.asarray(parents), np.asarray(emitted), np.asarray(scores), np.asarray(frame_lengths)
+    )
+
+    predictions = tiny_estimator.predict(Batch(audio, lengths, language_ids))
+    phoneme_classes = np.asarray(predictions.outputs["phoneme"]).shape[-1]
+    live = DeviceBeamCTCDecoder([str(i) for i in range(phoneme_classes)], beam_width=4, n_best=2)
+    live_out = live(
+        np.asarray(predictions.outputs["phoneme"]).transpose(1, 0, 2),
+        np.asarray(predictions.lengths),
+    )
+    for row in range(batch_size):
+        order = np.argsort(-scores_host[row])[:2]
+        for rank, beam in enumerate(order):
+            sequence = collected[:, row, beam]
+            tokens = sequence[sequence >= 0]
+            np.testing.assert_array_equal(tokens, live_out[row][rank].tokens)
+            assert scores_host[row, beam] == pytest.approx(live_out[row][rank].score, abs=1e-3)
 
 
 def test_export_cli_roundtrip(tiny_setup, tmp_path):
