@@ -488,7 +488,13 @@ def predict(arguments: Namespace) -> None:
         progress = progress_bar(
             enabled=not arguments.no_progress, desc="predict", unit="utt"
         )
-        for batch, language_batch in batch_generator:
+        def launch(batch, language_batch):
+            """Device work only — model forward plus every head's decode
+            dispatch, with NO host synchronization (async dispatch). The host
+            transfer and JSONL assembly happen in ``finish``, one batch later:
+            the device computes batch i+1 while the host drains and writes
+            batch i (the reference's loop fully serializes the two,
+            run.py:742-822)."""
             language_decoder = None
             if per_language_decoders is not None:
                 language_decoder = per_language_decoders[language_batch[0]]
@@ -506,32 +512,40 @@ def predict(arguments: Namespace) -> None:
                 outputs[ProjectionEntryConfig.PHONEME_LAYER] = inference_estimator.map_allophones(
                     outputs[ProjectionEntryConfig.PHONE], batch.language_ids
                 )
-            output_lengths = np.asarray(model_outputs.lengths)
-
             batch_size_now = len(batch)
-            # Phase 1: dispatch every head's decode. Greedy decodes launch
-            # without synchronizing (async dispatch overlaps them); beam
-            # decoders synchronize here and make collect the identity.
+            # Lengths stay on device too — np.asarray here would block the
+            # host on the forward and collapse the pipeline.
+            output_lengths = jnp.asarray(model_outputs.lengths)[:batch_size_now]
+
+            # Snapshot the decoder map: the per-language composition decoder
+            # mutates ``ctc_decoders`` on the NEXT launch before this batch's
+            # finish runs.
+            decoders_now = dict(ctc_decoders)
             dispatched = {}
-            for name, decoder in ctc_decoders.items():
+            for name, decoder in decoders_now.items():
                 # Estimator outputs are time-first; decoders are batch-first
                 # (reference run.py:742-806 transposes before decoding).
                 emissions = jnp.transpose(jnp.asarray(outputs[name]), (1, 0, 2))[:batch_size_now]
-                dispatched[name] = decoder.dispatch(emissions, output_lengths[:batch_size_now])
+                dispatched[name] = decoder.dispatch(emissions, output_lengths)
+            return batch, language_batch, language_decoder, decoders_now, dispatched
 
-            # Phase 2: transfer the (small) token results. Greedy heads are
-            # drained together through one stacked fetch (four transfers for
-            # the whole wave rather than four per head — the dominant cost on
+        def finish(state):
+            nonlocal processed
+            batch, language_batch, language_decoder, decoders_now, dispatched = state
+            batch_size_now = len(batch)
+            # Transfer the (small) token results. Greedy heads are drained
+            # together through one stacked fetch (four transfers for the whole
+            # wave rather than four per head — the dominant cost on
             # high-latency device links); beam heads collect individually.
             greedy_collected = GreedyCTCDecoder.collect_many(
                 {
                     name: dispatched[name]
-                    for name, decoder in ctc_decoders.items()
+                    for name, decoder in decoders_now.items()
                     if isinstance(decoder, GreedyCTCDecoder)
                 }
             )
             prediction_batches: Dict[str, List[List[List[str]]]] = {}
-            for name, decoder in ctc_decoders.items():
+            for name, decoder in decoders_now.items():
                 beam_results = (
                     greedy_collected[name]
                     if name in greedy_collected
@@ -572,6 +586,17 @@ def predict(arguments: Namespace) -> None:
                 )
             processed += batch_size_now
             progress.update(batch_size_now)
+
+        # One-batch-deep software pipeline: launch batch i+1's device work
+        # before finishing (draining + writing) batch i.
+        pending = None
+        for batch, language_batch in batch_generator:
+            state = launch(batch, language_batch)
+            if pending is not None:
+                finish(pending)
+            pending = state
+        if pending is not None:
+            finish(pending)
         progress.close()
 
 

@@ -528,6 +528,13 @@ class DeviceBeamCTCDecoder:
         self._blank_index = blank_index
 
     def __call__(self, log_emissions, lengths=None) -> List[List[CTCHypothesis]]:
+        return self.collect(self.dispatch(log_emissions, lengths))
+
+    def dispatch(self, log_emissions, lengths=None):
+        """Launches the device beam search without synchronizing (async
+        dispatch): callers can dispatch further device work — the next batch's
+        forward, other heads' decodes — before paying the transfer in
+        ``collect`` (the prediction loop pipelines one batch deep this way)."""
         log_emissions = jnp.asarray(log_emissions)
         batch, time, _classes = log_emissions.shape
         if lengths is None:
@@ -537,6 +544,13 @@ class DeviceBeamCTCDecoder:
         parents, emitted, scores = beam_search_device(
             log_emissions, lengths_array, self._beam_width, self._blank_index
         )
+        return parents, emitted, scores, lengths_array
+
+    def collect(self, dispatched) -> List[List[CTCHypothesis]]:
+        """Transfers a dispatched search's backpointers and reconstructs the
+        n-best hypothesis lists on the host (vectorized backtrace)."""
+        parents, emitted, scores, lengths_array = dispatched
+        batch = emitted.shape[1]
         collected, scores = backtrace_beams(
             np.asarray(parents), np.asarray(emitted), np.asarray(scores),
             np.asarray(lengths_array),
@@ -565,12 +579,3 @@ class DeviceBeamCTCDecoder:
                 )
             outputs.append(hypotheses)
         return outputs
-
-    # Uniform two-phase contract (see GreedyCTCDecoder); device scoring plus
-    # host backtrace run in dispatch, so collect is the identity.
-    def dispatch(self, log_emissions, lengths=None):
-        return self(log_emissions, lengths)
-
-    @staticmethod
-    def collect(dispatched):
-        return dispatched
