@@ -494,6 +494,36 @@ def beam_search_device(
     return beam_search_padded(log_emissions, lengths, beam_width, blank_index)
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def backtrace_beams_device(parents, emitted, lengths):
+    """Device-side n-best prefix reconstruction: one reverse ``lax.scan`` over
+    time threading per-(row, beam) parent cursors. Same contract as the host
+    :func:`backtrace_beams` but runs where the beam search ran, so (a) the
+    backtrace overlaps other device work under async dispatch, and (b) the
+    host drain halves — ``collected`` alone transfers instead of
+    ``parents`` + ``emitted`` (both [T, B, K]). Returns ``collected
+    [T, B, K]`` (token emitted at step t by hypothesis k of row b, -1 = none)."""
+    lengths = jnp.asarray(lengths, jnp.int32)
+    _time_steps, batch_rows, k_beams = emitted.shape
+    init_cursor = jnp.tile(
+        jnp.arange(k_beams, dtype=jnp.int32)[None, :], (batch_rows, 1)
+    )
+
+    def step(cursor, inputs):
+        parents_t, emitted_t, t = inputs
+        valid = t < lengths[:, None]
+        token = jnp.take_along_axis(emitted_t, cursor, axis=1)
+        collected_t = jnp.where(valid, token, -1)
+        cursor = jnp.where(valid, jnp.take_along_axis(parents_t, cursor, axis=1), cursor)
+        return cursor, collected_t
+
+    steps = jnp.arange(emitted.shape[0], dtype=jnp.int32)
+    _cursor, collected = jax.lax.scan(
+        step, init_cursor, (parents, emitted, steps), reverse=True
+    )
+    return collected
+
+
 def backtrace_beams(parents, emitted, scores, lengths):
     """Vectorized n-best prefix reconstruction: one backward pass over time on
     [B, K] int arrays — no per-(row, beam, step) Python loops (a naive
@@ -544,17 +574,19 @@ class DeviceBeamCTCDecoder:
         parents, emitted, scores = beam_search_device(
             log_emissions, lengths_array, self._beam_width, self._blank_index
         )
-        return parents, emitted, scores, lengths_array
+        # Backtrace on device too (still async): halves the collect-side drain
+        # (collected alone instead of parents + emitted) and overlaps the
+        # reconstruction with whatever the caller dispatches next.
+        collected = backtrace_beams_device(parents, emitted, lengths_array)
+        return collected, scores, lengths_array
 
     def collect(self, dispatched) -> List[List[CTCHypothesis]]:
-        """Transfers a dispatched search's backpointers and reconstructs the
-        n-best hypothesis lists on the host (vectorized backtrace)."""
-        parents, emitted, scores, lengths_array = dispatched
-        batch = emitted.shape[1]
-        collected, scores = backtrace_beams(
-            np.asarray(parents), np.asarray(emitted), np.asarray(scores),
-            np.asarray(lengths_array),
-        )
+        """Transfers a dispatched search's backtraced token grid and assembles
+        the n-best hypothesis lists on the host."""
+        collected, scores, _lengths_array = dispatched
+        batch = collected.shape[1]
+        collected = np.asarray(collected)
+        scores = np.asarray(scores)
 
         outputs: List[List[CTCHypothesis]] = []
         for row in range(batch):

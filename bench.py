@@ -88,9 +88,10 @@ def main() -> None:
         """Beam-mode serving (the predict CLI's ``-b/--ctc-beam`` surface): the
         phoneme track through the device prefix beam search (n-best), attribute
         tracks greedy — the configuration used to measure PER with beam decoding.
-        Scoring runs on device; prefix reconstruction is a vectorized host
-        backtrace over int32 arrays (see ``backtrace_beams``)."""
-        from allophant_tpu.ops.decode import beam_search_device
+        Scoring AND prefix reconstruction run on device (``backtrace_beams_device``,
+        a reverse scan threading parent cursors); the host only sorts scores and
+        serializes, so the per-batch serial host tail is JSONL alone."""
+        from allophant_tpu.ops.decode import backtrace_beams_device, beam_search_device
 
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
         attribute_tokens = []
@@ -109,23 +110,19 @@ def main() -> None:
         parents, emitted, scores = beam_search_device(
             log_probs, predictions.lengths, beam_width=BEAM_WIDTH
         )
-        # One packed int16 drain instead of two int32 arrays (2 MB -> 0.5 MB
-        # per batch): parent < K and token + 1 < 2^12 pack into 15 bits.
-        packed = (parents * 4096 + emitted + 1).astype(jnp.int16)
+        # Device backtrace: one int16 token grid drains (0.5 MB per batch)
+        # and the host-side reconstruction loop disappears entirely.
+        collected = backtrace_beams_device(parents, emitted, predictions.lengths)
         return (
             jnp.stack(attribute_tokens).astype(jnp.int16),
             jnp.stack(attribute_counts).astype(jnp.int16),
-            packed,
+            collected.astype(jnp.int16),
             scores,
-            predictions.lengths,
         )
 
-    def n_best_beams(parents, emitted, scores, frame_lengths):
-        """Per row the n-best (tokens list, score) ordered best-first, via the
-        production vectorized backtrace (ops/decode.py:backtrace_beams)."""
-        from allophant_tpu.ops.decode import backtrace_beams
-
-        collected, scores = backtrace_beams(parents, emitted, scores, frame_lengths)
+    def n_best_beams(collected, scores):
+        """Per row the n-best (tokens list, score) ordered best-first from the
+        device-backtraced token grid (ops/decode.py:backtrace_beams_device)."""
         order = np.argsort(-scores, axis=1)[:, :N_BEST]
         results = []
         for row in range(collected.shape[1]):
@@ -227,14 +224,11 @@ def main() -> None:
             for _ in range(num_batches)
         ]
         with open(os.devnull, "w", encoding="utf-8") as sink:
-            for attr_tokens, attr_counts, packed, scores, frame_lengths in results:
+            for attr_tokens, attr_counts, collected, scores in results:
                 attr_tokens = np.asarray(attr_tokens)
                 attr_counts = np.asarray(attr_counts)
-                packed_host = np.asarray(packed).astype(np.int32)
-                parents = packed_host >> 12
-                emitted = (packed_host & 0xFFF) - 1
                 n_best = n_best_beams(
-                    parents, emitted, np.asarray(scores), np.asarray(frame_lengths)
+                    np.asarray(collected).astype(np.int64), np.asarray(scores)
                 )
                 for row in range(batch):
                     record = {

@@ -449,6 +449,32 @@ class TestDeviceBeamDecoder:
             assert result.tokens.tolist() == [1]
             assert result.timesteps.tolist() == [1]
 
+    def test_device_backtrace_matches_host(self):
+        """backtrace_beams_device (reverse lax.scan, the production collect
+        path) reproduces the host backtrace_beams token grid exactly on random
+        beam-search outputs with ragged lengths."""
+        import jax
+        from allophant_tpu.ops.decode import (
+            backtrace_beams,
+            backtrace_beams_device,
+            beam_search_padded,
+        )
+
+        rng = np.random.default_rng(3)
+        batch, time, classes = 5, 20, 7
+        logits = rng.standard_normal((batch, time, classes)).astype(np.float32)
+        log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        lengths = np.array([20, 15, 8, 3, 1])
+
+        parents, emitted, scores = beam_search_padded(
+            jnp.asarray(log_probs), jnp.asarray(lengths), beam_width=4
+        )
+        host_collected, _scores = backtrace_beams(
+            np.asarray(parents), np.asarray(emitted), np.asarray(scores), lengths
+        )
+        device_collected = np.asarray(backtrace_beams_device(parents, emitted, lengths))
+        np.testing.assert_array_equal(device_collected, host_collected)
+
     def test_beam_sums_paths_device(self):
         from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
 
