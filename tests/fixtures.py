@@ -165,6 +165,128 @@ def mini_config_dict(
     }
 
 
+#: Per-language phoneme pools for the learnable tone corpus: subsets of the
+#: mini-Allophoible inventories above, large enough that chance PER is ~100%.
+TONE_PHONEME_POOLS = {
+    "es": ["a", "e", "i", "o", "u", "p", "t", "k", "m", "n", "s"],
+    "it": ["a", "e", "i", "o", "u", "t", "k", "b", "d", "m", "n", "z"],
+}
+
+
+def tone_frequency_map(phonemes) -> dict:
+    """Assigns each phoneme a pure-tone frequency, evenly spaced on the mel
+    scale between 300 and 7000 Hz so a 40-filter log-Mel frontend resolves
+    every pair into distinct filterbank signatures."""
+    import numpy as np
+
+    def hz_to_mel(hz):
+        return 2595.0 * np.log10(1.0 + hz / 700.0)
+
+    def mel_to_hz(mel):
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+
+    ordered = sorted(set(phonemes))
+    mels = np.linspace(hz_to_mel(300.0), hz_to_mel(7000.0), len(ordered))
+    return {phoneme: float(mel_to_hz(mel)) for phoneme, mel in zip(ordered, mels)}
+
+
+def build_tone_corpus(
+    root: str,
+    utterances_per_split=((("train", 64), ("dev", 8), ("test", 16))),
+    phonemes_per_utterance=(4, 8),
+    tone_ms: int = 120,
+    sample_rate: int = 16_000,
+    seed: int = 0,
+) -> None:
+    """Writes a *learnable* synthetic Common Voice corpus: each utterance is a
+    random phoneme sequence rendered as a concatenation of pure tones, one
+    distinct frequency per phoneme. A small model can learn the tone->phoneme
+    mapping, so train/test PER collapses far below chance — the signal the
+    convergence drill (tools/convergence_drill.py) asserts on."""
+    import os
+    import wave
+
+    import numpy as np
+
+    from allophant_tpu.data.common_voice import (
+        CommonVoiceCorpus,
+        CommonVoiceCorpusMeta,
+        Transcription,
+    )
+    from allophant_tpu.data.g2p import PhonemeTranscription, TaggedTranscription
+    from allophant_tpu.data.speech_corpus import LanguageData, LanguageInfo
+
+    rng = np.random.default_rng(seed)
+    frequencies = tone_frequency_map(
+        phoneme for pool in TONE_PHONEME_POOLS.values() for phoneme in pool
+    )
+    tone_samples = int(sample_rate * tone_ms / 1000)
+    time_axis = np.arange(tone_samples) / sample_rate
+    # 5 ms cosine ramps avoid clicks smearing energy across the spectrum.
+    ramp = np.ones(tone_samples)
+    edge = int(0.005 * sample_rate)
+    window = 0.5 - 0.5 * np.cos(np.linspace(0.0, np.pi, edge))
+    ramp[:edge] = window
+    ramp[-edge:] = window[::-1]
+
+    def render(sequence) -> np.ndarray:
+        tones = [
+            (0.25 * np.sin(2.0 * np.pi * frequencies[phoneme] * time_axis) * ramp)
+            for phoneme in sequence
+        ]
+        audio = np.concatenate(tones)
+        return (audio + rng.normal(0.0, 0.01, audio.shape)).astype(np.float32)
+
+    low, high = phonemes_per_utterance
+    for split, count in utterances_per_split:
+        languages = []
+        for language, pool in TONE_PHONEME_POOLS.items():
+            transcriptions = []
+            clips = os.path.join(root, language, "clips")
+            os.makedirs(clips, exist_ok=True)
+            for index in range(count):
+                utterance = f"{language}_{split}_{index}"
+                sequence = list(rng.choice(pool, size=int(rng.integers(low, high + 1))))
+                transcriptions.append(
+                    Transcription(
+                        "text", utterance, "client", None, None, None,
+                        PhonemeTranscription(["text"], [[TaggedTranscription(sequence, None)]]),
+                    )
+                )
+                data = (np.clip(render(sequence), -1, 1) * 32767).astype("<i2")
+                with wave.open(os.path.join(clips, f"{utterance}.wav"), "wb") as file:
+                    file.setnchannels(1)
+                    file.setsampwidth(2)
+                    file.setframerate(sample_rate)
+                    file.writeframes(data.tobytes())
+            languages.append(
+                LanguageData(LanguageInfo(language, sorted(pool), [{}]), transcriptions)
+            )
+        corpus = CommonVoiceCorpus(
+            root, languages, CommonVoiceCorpusMeta("cv-tones", audio_format="wav")
+        )
+        corpus.save(root, split)
+
+
+def tone_corpus_config(epochs: int = 24, batch_size: int = 8) -> dict:
+    """Config for the tone corpus: log-Mel frontend + the mini transformer."""
+    config = mini_config_dict()
+    config["nn"]["batch_size"] = batch_size
+    config["nn"]["maximum_iterations"] = epochs
+    # Constant Adam LR: the Noam trajectory is differential-tested elsewhere;
+    # the drill wants the fastest stable collapse on a tiny model.
+    config["nn"]["optimizer"] = {"algorithm": "adam", "learning_rate": 0.003}
+    del config["nn"]["lr_schedule"]
+    config["data"]["languages"] = ["es", "it"]
+    config["preprocessing"] = {
+        "feature_type": "FILTERBANKS",
+        "window": {"frame_duration": 25, "frame_stride": 10},
+        "resample": 16_000,
+        "num_filters": 40,
+    }
+    return config
+
+
 def build_cv_corpus(
     root: str,
     utterances_per_split=((("train", 3), ("dev", 2), ("test", 1))),
