@@ -136,6 +136,25 @@ def save_lengths(_parser: ArgumentParser, arguments: Namespace) -> None:
     sample_rate = splits.audio_info().sample_rate or config.preprocessing.resample or 16_000
     feature_function = FeatureFunction.from_config(config, sample_rate)
 
+    if getattr(arguments, "zarr", False):
+        from allophant_tpu.data.zarr_store import ZarrDirectoryWriter
+
+        zarr_writer = ZarrDirectoryWriter(arguments.output_directory)
+        zarr_writer.write_attrs("", {"feature_size": feature_function.feature_size})
+        for split_name, split in zip(("train", "dev", "test"), splits):
+            for language_code, lengths in split.read_lengths():
+                import numpy as np
+
+                zarr_writer.write_plain(
+                    f"{split_name}/{language_code}",
+                    "lengths",
+                    np.fromiter(
+                        (feature_function.frame_count(length) for length in lengths),
+                        dtype=np.int64,
+                    ),
+                )
+        return
+
     write_meta(arguments.output_directory, feature_function.feature_size)
     for split_name, split in zip(("train", "dev", "test"), splits):
         for language_code, lengths in split.read_lengths():
@@ -165,23 +184,51 @@ def preprocess_features(_parser: ArgumentParser, arguments: Namespace) -> None:
     )
     sample_rate = splits.audio_info().sample_rate or config.preprocessing.resample or 16_000
     feature_function = FeatureFunction.from_config(config, sample_rate)
-    write_meta(arguments.output_directory, feature_function.feature_size)
+
+    use_zarr = getattr(arguments, "zarr", False)
+    if use_zarr:
+        import numpy as np
+
+        from allophant_tpu.data.zarr_store import StreamingVlenWriter, ZarrDirectoryWriter
+
+        zarr_writer = ZarrDirectoryWriter(arguments.output_directory)
+        zarr_writer.write_attrs("", {"feature_size": feature_function.feature_size})
+    else:
+        write_meta(arguments.output_directory, feature_function.feature_size)
 
     progress = progress_bar(desc="preprocess", unit="utt")
     for split_name, split in zip(("train", "dev", "test"), splits):
         for language in split.languages:
-            writer = RaggedFeatureWriter(
-                arguments.output_directory, split_name, language, feature_function.feature_size
-            )
+            frame_counts = []
+            if use_zarr:
+                writer = StreamingVlenWriter(
+                    zarr_writer, f"{split_name}/{language}", "features"
+                )
+            else:
+                writer = RaggedFeatureWriter(
+                    arguments.output_directory, split_name, language, feature_function.feature_size
+                )
             progress.set_description(f"preprocess {split_name}/{language}")
             for index in split.monolingual_index_range(language):
                 audio, _rate = split.audio(index)
-                features = feature_function(audio[0] if audio.ndim > 1 else audio)
+                # FeatureFunction expects [channels, samples] and extracts the
+                # mono channel itself (reference preprocessing.py:50-161).
+                features = feature_function(audio if audio.ndim > 1 else audio[None, :])
                 if features.ndim == 1:
                     features = features[:, None]
                 writer.append(features)
+                if use_zarr:
+                    frame_counts.append(features.shape[0])
                 progress.update(1)
             writer.close()
+            if use_zarr:
+                # The reference's preprocess stores per-utterance frame counts
+                # next to the features (datasets/__main__.py:189-194).
+                zarr_writer.write_plain(
+                    f"{split_name}/{language}",
+                    "lengths",
+                    np.asarray(frame_counts, np.int64),
+                )
     progress.close()
 
 
@@ -365,6 +412,12 @@ def make_parser() -> ArgumentParser:
     )
     data_processing_parser.add_argument(
         "output_directory", help="Directory the processed data is stored in"
+    )
+    data_processing_parser.add_argument(
+        "--zarr", action="store_true",
+        help="Write the reference framework's zarr-v2 cache layout instead of"
+        " the native ragged store (readable by the reference's zarr reader;"
+        " this framework reads both formats transparently)",
     )
 
     subparsers.add_parser(

@@ -108,7 +108,15 @@ def preprocessed_features_or_lengths(
     data_path: str, split_languages: Dict[str, Sequence[str]], lengths_only: bool = True
 ) -> Dict[str, PreprocessedSplitData]:
     """Loads (concatenated, language-ordered) lengths and optionally ragged features
-    per split — the drop-in equivalent of the reference's zarr reader."""
+    per split — the drop-in equivalent of the reference's zarr reader. A cache
+    written by the reference itself (zarr v2 directory store, detected by its
+    ``.zgroup`` marker) is read through the interop layer in
+    :mod:`allophant_tpu.data.zarr_store`."""
+    from allophant_tpu.data import zarr_store
+
+    if zarr_store.is_zarr_store(data_path):
+        return zarr_store.read_preprocessed_zarr(data_path, split_languages, lengths_only)
+
     meta_path = path.join(data_path, META_FILE)
     feature_size = None
     if not lengths_only:

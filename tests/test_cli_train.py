@@ -109,6 +109,70 @@ def test_train_cli_with_precomputed_features(tmp_path):
     assert os.path.isfile(save_path)
 
 
+def test_train_cli_with_zarr_cache(tmp_path):
+    """`allophant-data preprocess --zarr` writes the reference's zarr-v2 cache
+    layout; `allophant train -f` auto-detects and reads it through the interop
+    layer (data/zarr_store.py) — a reference user's precomputed cache feeds the
+    production training loop unchanged (reference corpus_loading.py:143-162)."""
+    corpus_root = str(tmp_path / "cv")
+    os.makedirs(corpus_root)
+    build_cv_corpus(corpus_root)
+
+    attribute_path = str(tmp_path / "features.csv")
+    with open(attribute_path, "w", encoding="utf-8") as file:
+        file.write(mini_allophoible_csv())
+
+    config = mini_config_dict()
+    config["nn"]["batch_size"] = 2
+    config["nn"]["maximum_iterations"] = 1
+    config["data"]["languages"] = ["es", "it"]
+
+    from allophant_tpu.cli import data as data_cli
+
+    features_dir = str(tmp_path / "zarr_store")
+    data_cli.main(["preprocess", corpus_root, features_dir, "--zarr", "-j", json.dumps(config)])
+    assert os.path.isfile(os.path.join(features_dir, ".zgroup"))
+    assert os.path.isfile(os.path.join(features_dir, "train", "es", "features", ".zarray"))
+
+    # Cached features must equal the inline feature function's output on the
+    # real audio (this differential caught the preprocess CLI passing a
+    # pre-extracted channel into FeatureFunction, which stored one scalar per
+    # utterance).
+    from allophant_tpu.config import Config
+    from allophant_tpu.data import corpus_loading
+    from allophant_tpu.data.preprocessing import FeatureFunction
+
+    loaded_config = Config.load(config)
+    corpus = corpus_loading.load_corpus(
+        corpus_root, "common-voice", 16000, ["es", "it"], None, False, False
+    )
+    feature_function = FeatureFunction.from_config(loaded_config, 16000)
+    cached = corpus_loading.preprocessed_features_or_lengths(
+        features_dir, {"train": corpus.train.languages}, lengths_only=False
+    )["train"]
+    index = 0
+    for language in corpus.train.languages:
+        for utterance in corpus.train.monolingual_index_range(language):
+            audio, _rate = corpus.train.audio(utterance)
+            expected = feature_function(audio)
+            if expected.ndim == 1:
+                expected = expected[:, None]
+            np.testing.assert_allclose(cached.features[index], expected, rtol=1e-6)
+            index += 1
+
+    save_path = str(tmp_path / "model.ckpt")
+    run_cli.main(
+        [
+            "train", corpus_root, "--cpu", "--no-progress",
+            "-j", json.dumps(config),
+            "-a", attribute_path,
+            "-f", features_dir,
+            "-s", save_path,
+        ]
+    )
+    assert os.path.isfile(save_path)
+
+
 def test_step_profiler_writes_trace(tmp_path):
     """StepProfiler drives jax.profiler trace windows from ProfilingConfig."""
     from allophant_tpu.config import ProfilingConfig

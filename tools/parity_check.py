@@ -204,6 +204,18 @@ def _overfit_flagship(steps: int, batch: int, seconds: float, seed: int):
     the regime real serving operates in (published CTC models emit near-one-hot
     frame posteriors). Training runs the production bf16+remat step; measurement
     afterwards uses whatever compute path the caller builds with these params."""
+    for result in _overfit_flagship_iter([steps], batch, seconds, seed):
+        pass
+    _steps, params, variables, batch_data, labels = result
+    return params, variables, batch_data, labels
+
+
+def _overfit_flagship_iter(checkpoints, batch: int, seconds: float, seed: int):
+    """Trains the flagship on one fixed synthetic batch, yielding
+    ``(step_count, params, variables, (audio, lengths, language_ids), labels)``
+    at each requested checkpoint (ascending). Confidence grows monotonically
+    with steps, so a log-spaced checkpoint list sweeps the logit-separation
+    curve from near-random through mid-confidence to overfit."""
     import time
 
     import jax
@@ -261,9 +273,18 @@ def _overfit_flagship(steps: int, batch: int, seconds: float, seed: int):
         micro[f"labels_{name}"] = jnp.asarray(labels)
         micro[f"label_lengths_{name}"] = jnp.full((1, batch), label_length, jnp.int32)
 
+    labels = {
+        name[len("labels_") :]: np.asarray(value[0])
+        for name, value in micro.items()
+        if name.startswith("labels_")
+    }
+    batch_data = (audio[0], lengths[0], language_ids[0])
+
     key = jax.random.key(1, impl="rbg")
     start = time.perf_counter()
     first_loss = None
+    checkpoints = sorted(set(checkpoints))
+    steps = checkpoints[-1]
     for index in range(steps):
         params, opt_state, metrics = step(params, opt_state, variables, micro, key)
         if index == 0:
@@ -273,19 +294,17 @@ def _overfit_flagship(steps: int, batch: int, seconds: float, seed: int):
                 f" (compile+step {time.perf_counter() - start:.0f}s)",
                 flush=True,
             )
-    final_loss = float(metrics["mean_loss"])
-    print(
-        f"overfit {steps} steps on one batch {batch} x {seconds:.0f}s: "
-        f"loss {first_loss:.1f} -> {final_loss:.1f} "
-        f"({time.perf_counter() - start:.0f}s)",
-        flush=True,
-    )
-    labels = {
-        name[len("labels_") :]: np.asarray(value[0])
-        for name, value in micro.items()
-        if name.startswith("labels_")
-    }
-    return params, variables, (audio[0], lengths[0], language_ids[0]), labels
+        if index + 1 in checkpoints:
+            print(
+                f"overfit step {index + 1}/{steps} on one batch {batch} x {seconds:.0f}s: "
+                f"loss {first_loss:.1f} -> {float(metrics['mean_loss']):.1f} "
+                f"({time.perf_counter() - start:.0f}s)",
+                flush=True,
+            )
+            # The train step donates params; hand the caller an undonated copy
+            # so its measurement forwards stay valid while training continues.
+            snapshot = params if index + 1 == steps else jax.tree_util.tree_map(jnp.copy, params)
+            yield index + 1, snapshot, variables, batch_data, labels
 
 
 def check_decisions(
@@ -294,6 +313,7 @@ def check_decisions(
     seed: int = 0,
     train_steps: int = 0,
     verbose: bool = False,
+    curve: str | None = None,
 ) -> int:
     """Decision-level serving-precision study (VERDICT r2 item 3 / r3 items 1-2).
 
@@ -312,7 +332,14 @@ def check_decisions(
     overfits the flagship on one fixed synthetic batch (production bf16+remat
     train step) and measures decisions on that batch: logits are then
     confidently separated, the regime trained serving operates in, grounding
-    the random-weights bound with a trained-logits measurement."""
+    the random-weights bound with a trained-logits measurement.
+
+    ``--curve "15,30,60,125,250,500"`` measures at MULTIPLE points of the same
+    training run (one pass, snapshots at each checkpoint): the logit
+    separation sweeps from near-random through the mid-confidence regime
+    (mean top-1 ~0.6-0.85, where published checkpoints at PER 34-46% operate)
+    to the overfit endpoint — turning the two-endpoint bracket into a curve
+    (VERDICT r4 weak #1 / item 2)."""
     import jax
     import jax.numpy as jnp
 
@@ -326,152 +353,181 @@ def check_decisions(
     }
 
     config, indexer, built32 = build_flagship(dtype=jnp.float32)
+    preset_builts = {name: build_flagship(**kwargs)[2] for name, kwargs in presets.items()}
 
-    labels = None
-    if train_steps:
-        params, other_variables, (audio_np, lengths_np, language_ids_np), labels = (
-            _overfit_flagship(train_steps, batch, seconds, seed)
-        )
-        variables = {**other_variables, "params": params}
-        audio = jnp.asarray(audio_np)
-        lengths = jnp.asarray(lengths_np)
-        language_ids = jnp.asarray(language_ids_np)
-    else:
-        variables = built32.init(jax.random.PRNGKey(seed), sample_batch_size=1, sample_length=3200)
-        rng = np.random.default_rng(seed)
-        samples = int(16_000 * seconds)
-        audio = jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32))
-        lengths = jnp.asarray(np.full(batch, samples, np.int32))
-        language_ids = jnp.asarray((np.arange(batch) % 4).astype(np.int32))
-
-    def forward(built):
-        predictions = jax.jit(
+    def make_forward(built):
+        # One persistent jit per model so curve checkpoints reuse the compile.
+        return jax.jit(
             lambda v, a, l, i: built.model.apply(v, a, l, i, predict=True, deterministic=True)
-        )(variables, audio, lengths, language_ids)
-        outputs = {name: np.asarray(value, np.float32) for name, value in predictions.outputs.items()}
-        return outputs, np.asarray(predictions.lengths)
+        )
 
-    outputs32, frame_lengths = forward(built32)
-
-    # Logit-separation summary for the ground-truth path: mean/percentile margin
-    # between the top-2 phoneme softmax probabilities over real frames. Trained
-    # logits should show near-1 top-1 probabilities; random weights sit near
-    # uniform. This is the number README's bf16 discussion rests on.
-    phoneme = outputs32["phoneme"]
-    margins = []
-    top1 = []
-    for row in range(batch):
-        length = int(frame_lengths[row])
-        logits = phoneme[row, :length]
-        probabilities = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        probabilities /= probabilities.sum(axis=-1, keepdims=True)
-        ordered = np.sort(probabilities, axis=-1)
-        margins.append(ordered[:, -1] - ordered[:, -2])
-        top1.append(ordered[:, -1])
-    margins = np.concatenate(margins)
-    top1 = np.concatenate(top1)
-    print(
-        f"phoneme-head separation (f32 path): mean top-1 prob {top1.mean():.4f}, "
-        f"mean top-2 margin {margins.mean():.4f}, p5 margin {np.percentile(margins, 5):.4f}"
-    )
+    forward32 = make_forward(built32)
+    preset_forwards = {name: make_forward(built) for name, built in preset_builts.items()}
 
     def greedy_tokens(logits_row, length) -> list:
         ids = logits_row[:length].argmax(axis=-1)
         collapsed = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
         return [int(token) for token in collapsed if token != 0]
 
-    def label_error_rates(outputs):
-        """Actual per-head PER against the overfit batch's labels — the metric
-        BASELINE's <=0.1% absolute gate is stated in, unlike the decode-vs-decode
-        disagreement (which bounds it pessimistically: disagreeing tokens are
-        errors in one decode or the other, rarely both)."""
-        if labels is None:
-            return None
-        rates = {}
-        total_edits = 0
-        total_tokens = 0
-        for name in sorted(outputs):
-            # The allophone layer emits an unlabeled "phone" track alongside
-            # "phoneme" (predict-mode passthrough); only labeled heads score.
-            if name not in labels:
-                continue
-            head_labels = labels[name]
-            edits = 0
-            tokens = 0
-            for row in range(batch):
-                reference = [int(t) for t in head_labels[row]]
-                hypothesis = greedy_tokens(outputs[name][row], int(frame_lengths[row]))
-                edits += levensthein(reference, hypothesis)
-                tokens += len(reference)
-            rates[name] = edits / max(tokens, 1)
-            total_edits += edits
-            total_tokens += tokens
-        rates["__all__"] = total_edits / max(total_tokens, 1)
-        return rates
+    def measure(variables, audio, lengths, language_ids, labels, context_tag):
+        """Ground-truth f32 forward + every preset: logit separation, argmax
+        flips, decode-vs-decode edit rate, and (when labels exist) label PER."""
 
-    rates32 = label_error_rates(outputs32)
-    if rates32 is not None:
+        def run(forward_fn):
+            predictions = forward_fn(variables, audio, lengths, language_ids)
+            outputs = {
+                name: np.asarray(value, np.float32) for name, value in predictions.outputs.items()
+            }
+            return outputs, np.asarray(predictions.lengths)
+
+        outputs32, frame_lengths = run(forward32)
+
+        # Logit-separation summary for the ground-truth path: mean/percentile
+        # margin between the top-2 phoneme softmax probabilities over real
+        # frames. Trained logits show near-1 top-1 probabilities; random
+        # weights sit near uniform. This is the x-axis of the decision curve.
+        phoneme = outputs32["phoneme"]
+        margins = []
+        top1 = []
+        for row in range(batch):
+            length = int(frame_lengths[row])
+            logits = phoneme[row, :length]
+            probabilities = np.exp(logits - logits.max(axis=-1, keepdims=True))
+            probabilities /= probabilities.sum(axis=-1, keepdims=True)
+            ordered = np.sort(probabilities, axis=-1)
+            margins.append(ordered[:, -1] - ordered[:, -2])
+            top1.append(ordered[:, -1])
+        margins = np.concatenate(margins)
+        top1 = np.concatenate(top1)
         print(
-            f"label PER (f32 ground truth decode): all-heads {100 * rates32['__all__']:.3f}%,"
-            f" phoneme {100 * rates32['phoneme']:.3f}%"
+            f"phoneme-head separation (f32 path){context_tag}: mean top-1 prob {top1.mean():.4f}, "
+            f"mean top-2 margin {margins.mean():.4f}, p5 margin {np.percentile(margins, 5):.4f}"
         )
 
-    for preset_name, kwargs in presets.items():
-        _config_fast, _indexer_fast, built = build_flagship(**kwargs)
-        outputs, _ = forward(built)
+        def label_error_rates(outputs):
+            """Actual per-head PER against the overfit batch's labels — the
+            metric BASELINE's <=0.1% absolute gate is stated in, unlike the
+            decode-vs-decode disagreement (which bounds it pessimistically:
+            disagreeing tokens are errors in one decode or the other, rarely
+            both)."""
+            if labels is None:
+                return None
+            rates = {}
+            total_edits = 0
+            total_tokens = 0
+            for name in sorted(outputs):
+                # The allophone layer emits an unlabeled "phone" track alongside
+                # "phoneme" (predict-mode passthrough); only labeled heads score.
+                if name not in labels:
+                    continue
+                head_labels = labels[name]
+                edits = 0
+                tokens = 0
+                for row in range(batch):
+                    reference = [int(t) for t in head_labels[row]]
+                    hypothesis = greedy_tokens(outputs[name][row], int(frame_lengths[row]))
+                    edits += levensthein(reference, hypothesis)
+                    tokens += len(reference)
+                rates[name] = edits / max(tokens, 1)
+                total_edits += edits
+                total_tokens += tokens
+            rates["__all__"] = total_edits / max(total_tokens, 1)
+            return rates
 
-        total_frames = 0
-        total_flips = 0
-        total_edits = 0
-        total_reference_tokens = 0
-        worst = (0.0, "")
-        for name in sorted(outputs32):
-            head32, head_fast = outputs32[name], outputs[name]
-            flips = 0
-            frames = 0
-            edits = 0
-            reference_tokens = 0
-            for row in range(batch):
-                length = int(frame_lengths[row])
-                argmax32 = head32[row, :length].argmax(axis=-1)
-                argmax_fast = head_fast[row, :length].argmax(axis=-1)
-                flips += int((argmax32 != argmax_fast).sum())
-                frames += length
-                tokens32 = greedy_tokens(head32[row], length)
-                tokens_fast = greedy_tokens(head_fast[row], length)
-                edits += levensthein(tokens32, tokens_fast)
-                reference_tokens += max(len(tokens32), 1)
-            flip_rate = flips / max(frames, 1)
-            edit_rate = edits / max(reference_tokens, 1)
-            if flip_rate > worst[0]:
-                worst = (flip_rate, name)
-            total_frames += frames
-            total_flips += flips
-            total_edits += edits
-            total_reference_tokens += reference_tokens
-            if verbose:
+        rates32 = label_error_rates(outputs32)
+        if rates32 is not None:
+            print(
+                f"label PER (f32 ground truth decode): all-heads {100 * rates32['__all__']:.3f}%,"
+                f" phoneme {100 * rates32['phoneme']:.3f}%"
+            )
+
+        for preset_name, forward_fn in preset_forwards.items():
+            outputs, _ = run(forward_fn)
+
+            total_frames = 0
+            total_flips = 0
+            total_edits = 0
+            total_reference_tokens = 0
+            worst = (0.0, "")
+            for name in sorted(outputs32):
+                head32, head_fast = outputs32[name], outputs[name]
+                flips = 0
+                frames = 0
+                edits = 0
+                reference_tokens = 0
+                for row in range(batch):
+                    length = int(frame_lengths[row])
+                    argmax32 = head32[row, :length].argmax(axis=-1)
+                    argmax_fast = head_fast[row, :length].argmax(axis=-1)
+                    flips += int((argmax32 != argmax_fast).sum())
+                    frames += length
+                    tokens32 = greedy_tokens(head32[row], length)
+                    tokens_fast = greedy_tokens(head_fast[row], length)
+                    edits += levensthein(tokens32, tokens_fast)
+                    reference_tokens += max(len(tokens32), 1)
+                flip_rate = flips / max(frames, 1)
+                edit_rate = edits / max(reference_tokens, 1)
+                if flip_rate > worst[0]:
+                    worst = (flip_rate, name)
+                total_frames += frames
+                total_flips += flips
+                total_edits += edits
+                total_reference_tokens += reference_tokens
+                if verbose:
+                    print(
+                        f"  [{preset_name}/{name:>24s}] argmax flip {100 * flip_rate:6.3f}%"
+                        f"  token edit rate {100 * edit_rate:6.3f}%"
+                    )
+
+            print(
+                f"[{preset_name:>12s}] over {len(outputs32)} heads, {batch} x {seconds:.0f}s"
+                f"{context_tag or ' (random weights)'}: "
+                f"argmax flip rate {100 * total_flips / max(total_frames, 1):.3f}%, "
+                f"synthetic PER delta vs f32 decode "
+                f"{100 * total_edits / max(total_reference_tokens, 1):.3f}%, "
+                f"worst head {worst[1]} at {100 * worst[0]:.3f}%"
+            )
+            rates = label_error_rates(outputs)
+            if rates is not None:
                 print(
-                    f"  [{preset_name}/{name:>24s}] argmax flip {100 * flip_rate:6.3f}%"
-                    f"  token edit rate {100 * edit_rate:6.3f}%"
+                    f"[{preset_name:>12s}] label PER: all-heads"
+                    f" {100 * rates['__all__']:.3f}%"
+                    f" ({100 * (rates['__all__'] - rates32['__all__']):+.3f}% vs f32),"
+                    f" phoneme {100 * rates['phoneme']:.3f}%"
+                    f" ({100 * (rates['phoneme'] - rates32['phoneme']):+.3f}% vs f32)"
                 )
 
-        print(
-            f"[{preset_name:>12s}] over {len(outputs32)} heads, {batch} x {seconds:.0f}s"
-            f"{f' (trained {train_steps} steps)' if train_steps else ' (random weights)'}: "
-            f"argmax flip rate {100 * total_flips / max(total_frames, 1):.3f}%, "
-            f"synthetic PER delta vs f32 decode "
-            f"{100 * total_edits / max(total_reference_tokens, 1):.3f}%, "
-            f"worst head {worst[1]} at {100 * worst[0]:.3f}%"
-        )
-        rates = label_error_rates(outputs)
-        if rates is not None:
-            print(
-                f"[{preset_name:>12s}] label PER: all-heads"
-                f" {100 * rates['__all__']:.3f}%"
-                f" ({100 * (rates['__all__'] - rates32['__all__']):+.3f}% vs f32),"
-                f" phoneme {100 * rates['phoneme']:.3f}%"
-                f" ({100 * (rates['phoneme'] - rates32['phoneme']):+.3f}% vs f32)"
+    checkpoints = None
+    if curve:
+        checkpoints = sorted({int(item) for item in curve.split(",") if item.strip()})
+    elif train_steps:
+        checkpoints = [train_steps]
+
+    if checkpoints:
+        for step_count, params, other_variables, (audio_np, lengths_np, language_ids_np), labels in (
+            _overfit_flagship_iter(checkpoints, batch, seconds, seed)
+        ):
+            variables = {**other_variables, "params": params}
+            measure(
+                variables,
+                jnp.asarray(audio_np),
+                jnp.asarray(lengths_np),
+                jnp.asarray(language_ids_np),
+                labels,
+                f" (trained {step_count} steps)",
             )
+    else:
+        variables = built32.init(jax.random.PRNGKey(seed), sample_batch_size=1, sample_length=3200)
+        rng = np.random.default_rng(seed)
+        samples = int(16_000 * seconds)
+        measure(
+            variables,
+            jnp.asarray(rng.standard_normal((batch, samples)).astype(np.float32)),
+            jnp.asarray(np.full(batch, samples, np.int32)),
+            jnp.asarray((np.arange(batch) % 4).astype(np.int32)),
+            None,
+            "",
+        )
     return 0
 
 
@@ -681,6 +737,13 @@ def main(argv=None) -> int:
         help="overfit the flagship this many steps on one synthetic batch first, then"
         " measure decisions on that batch (trained-logits regime)",
     )
+    decisions.add_argument(
+        "--curve", default=None,
+        help="comma-separated step checkpoints (e.g. '15,30,60,125,250,500'):"
+        " measure decisions at each point of one training run, sweeping the"
+        " logit-separation curve from near-random through mid-confidence to"
+        " overfit (overrides --train-steps)",
+    )
     decisions.add_argument("--verbose", action="store_true", help="per-head lines")
 
     rates = commands.add_parser("error-rates")
@@ -728,7 +791,7 @@ def main(argv=None) -> int:
     if arguments.command == "decisions":
         return check_decisions(
             arguments.seconds, arguments.batch, arguments.seed,
-            arguments.train_steps, arguments.verbose,
+            arguments.train_steps, arguments.verbose, arguments.curve,
         )
     return check_error_rates(
         arguments.predictions,
