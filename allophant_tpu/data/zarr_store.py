@@ -51,8 +51,50 @@ _MIN_BUFFERSIZE = 128
 # ---------------------------------------------------------------------------
 
 
+_NATIVE_LZ4 = None
+_NATIVE_LZ4_FAILED = False
+
+
+def _native_lz4():
+    """ctypes handle to the C++ decoder in liballophant_native.so (built from
+    native/src/lz4_codec.cpp), or None when the native build is unavailable."""
+    global _NATIVE_LZ4, _NATIVE_LZ4_FAILED
+    if _NATIVE_LZ4 is not None or _NATIVE_LZ4_FAILED:
+        return _NATIVE_LZ4
+    try:
+        import ctypes
+
+        from allophant_tpu.native.build import library_path
+
+        lib = ctypes.CDLL(str(library_path()))
+        lib.allophant_lz4_decompress.restype = ctypes.c_int32
+        lib.allophant_lz4_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ]
+        _NATIVE_LZ4 = lib
+    except Exception:
+        _NATIVE_LZ4_FAILED = True
+    return _NATIVE_LZ4
+
+
 def lz4_decompress_block(data: bytes, output_size: int) -> bytes:
-    """Decodes one raw LZ4 block (no frame header) of known output size."""
+    """Decodes one raw LZ4 block (no frame header) of known output size.
+
+    Routes through the native C++ decoder when available (GB/s-class; the
+    sequential token stream cannot be vectorized in numpy) with this
+    pure-Python implementation as the complete fallback."""
+    lib = _native_lz4()
+    if lib is not None:
+        import ctypes
+
+        buffer = ctypes.create_string_buffer(output_size)
+        written = lib.allophant_lz4_decompress(data, len(data), buffer, output_size)
+        if written != output_size:
+            raise ValueError(
+                f"corrupt LZ4 block: produced {written} of {output_size} bytes"
+            )
+        return buffer.raw
+
     out = bytearray(output_size)
     position = 0
     out_position = 0

@@ -47,6 +47,24 @@ class TestLz4:
         data = b"0123456789abcdef" * 400
         assert len(zs.lz4_compress_block(data)) < len(data) // 4
 
+    def test_native_decoder_active_and_matches_python_fallback(self, monkeypatch):
+        """The C++ decoder (native/src/lz4_codec.cpp) must be in use — silent
+        fallback would hide native regressions — and agree byte-for-byte with
+        the pure-Python implementation on the same blocks."""
+        assert zs._native_lz4() is not None, "native lz4 decoder failed to build"
+        rng = np.random.default_rng(5)
+        blocks = [
+            zs.lz4_compress_block(_random_bytes(rng, size, repetitive))
+            for size in (0, 7, 500, 20_000)
+            for repetitive in (False, True)
+        ]
+        sizes = [0, 0, 7, 7, 500, 500, 20_000, 20_000]
+        native = [zs.lz4_decompress_block(block, size) for block, size in zip(blocks, sizes)]
+        monkeypatch.setattr(zs, "_NATIVE_LZ4", None)
+        monkeypatch.setattr(zs, "_NATIVE_LZ4_FAILED", True)
+        python = [zs.lz4_decompress_block(block, size) for block, size in zip(blocks, sizes)]
+        assert native == python
+
 
 class TestShuffles:
     @pytest.mark.parametrize("typesize", [1, 2, 4, 8])
