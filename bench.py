@@ -55,30 +55,83 @@ def main() -> None:
         )
         return tokens, counts
 
+    # Lane-packed drains. The tunneled host link prices every transfer at
+    # ~23 ms fixed latency + ~12 ms/MB (measured), so the drain wants BOTH few
+    # transfers and few bytes: 36 of the 38 heads have vocabularies under 255,
+    # so two such heads share one uint16 lane (low/high byte); per-lane counts
+    # ride in two leading columns (counts <= T < 2^16). One [L, B, T+2] grid
+    # replaces the [H, B, T] tokens + [H, B] counts pair — for 38 heads that is
+    # 4.85 MB + 2 transfers -> 2.6 MB + 1 transfer (~105 -> ~55 ms per batch).
+    def _lane_plan(names):
+        small = [name for name in names if len(value_tables[name]) <= 255]
+        big = [name for name in names if len(value_tables[name]) > 255]
+        pairs = list(zip(small[::2], small[1::2]))
+        odd = small[-1] if len(small) % 2 else None
+        return pairs, odd, big
+
+    def pack_lanes(decoded, names):
+        """decoded: name -> (tokens [B, T] int32, counts [B] int32)."""
+        pairs, odd, big = _lane_plan(names)
+        lanes = []
+
+        def lane(tokens_a, counts_a, tokens_b, counts_b):
+            # Mask to the low byte BEFORE packing: positions past a head's
+            # token count hold -1 padding, whose int32 sign bits would
+            # otherwise bleed into the partner head's byte.
+            packed = ((tokens_a & 0xFF) | ((tokens_b & 0xFF) << 8)).astype(jnp.uint16)
+            return jnp.concatenate(
+                [counts_a[:, None], counts_b[:, None], packed], axis=1
+            ).astype(jnp.uint16)
+
+        for name_a, name_b in pairs:
+            lanes.append(lane(decoded[name_a][0], decoded[name_a][1], *decoded[name_b]))
+        if odd is not None:
+            zero = jnp.zeros_like(decoded[odd][0])
+            lanes.append(lane(decoded[odd][0], decoded[odd][1], zero, jnp.zeros_like(decoded[odd][1])))
+        for name in big:
+            tokens, counts = decoded[name]
+            lanes.append(
+                jnp.concatenate(
+                    [counts[:, None], jnp.zeros_like(counts)[:, None], jnp.maximum(tokens, 0)],
+                    axis=1,
+                ).astype(jnp.uint16)
+            )
+        return jnp.stack(lanes)
+
+    def unpack_lanes(grid, names):
+        """Host side: [L, B, T+2] uint16 -> name -> (tokens [B, T], counts [B])."""
+        pairs, odd, big = _lane_plan(names)
+        decoded = {}
+        index = 0
+        for name_a, name_b in pairs:
+            lane = grid[index]
+            tokens = lane[:, 2:]
+            decoded[name_a] = (tokens & 0xFF, lane[:, 0])
+            decoded[name_b] = (tokens >> 8, lane[:, 1])
+            index += 1
+        if odd is not None:
+            lane = grid[index]
+            decoded[odd] = (lane[:, 2:] & 0xFF, lane[:, 0])
+            index += 1
+        for name in big:
+            lane = grid[index]
+            decoded[name] = (lane[:, 2:], lane[:, 0])
+            index += 1
+        return decoded
+
     @jax.jit
     def transcribe_all_heads(variables, audio, lengths, language_ids):
         """The reference predict hot loop's work (run.py:742-822): greedy-decode
-        every classifier head, not just the phoneme track. Per-head results are
-        stacked into two device arrays ([H, B, T] tokens, [H, B] counts) so the
-        host drain is two transfers per batch instead of two per head — on the
-        tunneled backend each transfer costs ~28 ms of round-trip latency, which
-        at 38 heads would otherwise dominate the wall clock."""
+        every classifier head, not just the phoneme track, packed into the
+        single-transfer lane grid."""
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
-        all_tokens = []
-        all_counts = []
+        decoded = {}
         for name in sorted(predictions.outputs):
             tokens, _ts, counts, _s = greedy_decode_logits(
                 predictions.outputs[name], predictions.lengths
             )
-            all_tokens.append(tokens)
-            all_counts.append(counts)
-        # int16 halves the [H, B, T] drain (9.3 -> 4.7 MB per batch at the
-        # default shape): the tunneled host transfer is bandwidth-priced, and
-        # every head's vocabulary is far below 2^15.
-        return (
-            jnp.stack(all_tokens).astype(jnp.int16),
-            jnp.stack(all_counts).astype(jnp.int16),
-        )
+            decoded[name] = (tokens, counts)
+        return pack_lanes(decoded, sorted(predictions.outputs))
 
     BEAM_WIDTH = 4
     N_BEST = 4
@@ -94,44 +147,39 @@ def main() -> None:
         from allophant_tpu.ops.decode import backtrace_beams_device, beam_search_device
 
         predictions = model.apply(variables, audio, lengths, language_ids, predict=True)
-        attribute_tokens = []
-        attribute_counts = []
+        decoded = {}
+        attribute_names = []
         for name in sorted(predictions.outputs):
             if name == "phoneme":
                 continue
             tokens, _ts, counts, _s = greedy_decode_logits(
                 predictions.outputs[name], predictions.lengths
             )
-            attribute_tokens.append(tokens)
-            attribute_counts.append(counts)
+            decoded[name] = (tokens, counts)
+            attribute_names.append(name)
         log_probs = jax.nn.log_softmax(
             predictions.outputs["phoneme"].astype(jnp.float32), axis=-1
         )
         parents, emitted, scores = beam_search_device(
             log_probs, predictions.lengths, beam_width=BEAM_WIDTH
         )
-        # Device backtrace: one int16 token grid drains (0.5 MB per batch)
-        # and the host-side reconstruction loop disappears entirely.
+        # Device backtrace + device score ordering: the drained token grid's
+        # beams arrive best-first, so scores never transfer and the host-side
+        # reconstruction loop disappears entirely (0.5 MB int16 per batch).
         collected = backtrace_beams_device(parents, emitted, predictions.lengths)
-        return (
-            jnp.stack(attribute_tokens).astype(jnp.int16),
-            jnp.stack(attribute_counts).astype(jnp.int16),
-            collected.astype(jnp.int16),
-            scores,
-        )
+        order = jnp.argsort(-scores, axis=1)
+        collected = jnp.take_along_axis(collected, order[None, :, :], axis=2)
+        return pack_lanes(decoded, attribute_names), collected.astype(jnp.int16)
 
-    def n_best_beams(collected, scores):
-        """Per row the n-best (tokens list, score) ordered best-first from the
-        device-backtraced token grid (ops/decode.py:backtrace_beams_device)."""
-        order = np.argsort(-scores, axis=1)[:, :N_BEST]
+    def n_best_beams(collected):
+        """Per row the n-best token lists, best-first (beams pre-sorted on
+        device by score)."""
         results = []
         for row in range(collected.shape[1]):
             n_best = []
-            for beam in order[row]:
+            for beam in range(N_BEST):
                 sequence = collected[:, row, beam]
-                n_best.append(
-                    (sequence[sequence >= 0].tolist(), float(scores[row, beam]))
-                )
+                n_best.append(sequence[sequence >= 0].tolist())
             results.append(n_best)
         return results
 
@@ -167,7 +215,6 @@ def main() -> None:
             language_ids,
         )
         head_names = sorted(output_shapes)
-        transcribe_all_heads(variables, audio, lengths, language_ids)  # warmup/compile
     else:
         head_names = []
     value_tables = {}
@@ -185,6 +232,8 @@ def main() -> None:
         # fancy-index + tolist() (~3x faster than a Python lookup loop on the
         # single host core, which would otherwise rival device compute).
         value_tables[name] = np.array(table, dtype=object)
+    if measure_all_heads:
+        transcribe_all_heads(variables, audio, lengths, language_ids)  # warmup/compile
 
     def run_all_heads(num_batches: int) -> float:
         start = time.perf_counter()
@@ -193,10 +242,9 @@ def main() -> None:
             for _ in range(num_batches)
         ]
         with open(os.devnull, "w", encoding="utf-8") as sink:
-            for stacked_tokens, stacked_counts in results:
-                # Two transfers per batch regardless of head count.
-                tokens = np.asarray(stacked_tokens)
-                counts = np.asarray(stacked_counts)
+            for grid in results:
+                # ONE transfer per batch regardless of head count.
+                decoded = unpack_lanes(np.asarray(grid), head_names)
                 for row in range(batch):
                     record = {
                         "language": "es",
@@ -204,10 +252,10 @@ def main() -> None:
                         "predictions": {
                             name: [
                                 value_tables[name][
-                                    tokens[head, row, : counts[head, row]]
+                                    decoded[name][0][row, : decoded[name][1][row]]
                                 ].tolist()
                             ]
-                            for head, name in enumerate(head_names)
+                            for name in head_names
                         },
                     }
                     sink.write(json.dumps(record, ensure_ascii=False))
@@ -224,12 +272,11 @@ def main() -> None:
             for _ in range(num_batches)
         ]
         with open(os.devnull, "w", encoding="utf-8") as sink:
-            for attr_tokens, attr_counts, collected, scores in results:
-                attr_tokens = np.asarray(attr_tokens)
-                attr_counts = np.asarray(attr_counts)
-                n_best = n_best_beams(
-                    np.asarray(collected).astype(np.int64), np.asarray(scores)
-                )
+            for grid, collected in results:
+                # TWO transfers per batch: the attribute lane grid and the
+                # best-first beam token grid.
+                decoded = unpack_lanes(np.asarray(grid), attribute_names)
+                n_best = n_best_beams(np.asarray(collected).astype(np.int64))
                 for row in range(batch):
                     record = {
                         "language": "es",
@@ -237,15 +284,14 @@ def main() -> None:
                         "predictions": {
                             name: [
                                 value_tables[name][
-                                    attr_tokens[head, row, : attr_counts[head, row]]
+                                    decoded[name][0][row, : decoded[name][1][row]]
                                 ].tolist()
                             ]
-                            for head, name in enumerate(attribute_names)
+                            for name in attribute_names
                         },
                     }
                     record["predictions"]["phoneme"] = [
-                        value_tables["phoneme"][tokens].tolist()
-                        for tokens, _score in n_best[row]
+                        value_tables["phoneme"][tokens].tolist() for tokens in n_best[row]
                     ]
                     sink.write(json.dumps(record, ensure_ascii=False))
                     sink.write("\n")
