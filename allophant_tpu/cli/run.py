@@ -494,84 +494,127 @@ def predict(arguments: Namespace) -> None:
             transfer and JSONL assembly happen in ``finish``, one batch later:
             the device computes batch i+1 while the host drains and writes
             batch i (the reference's loop fully serializes the two,
-            run.py:742-822)."""
+            run.py:742-822).
+
+            Greedy serving (ctc_beam 1, the published-numbers configuration)
+            runs the FUSED path: forward + every head's decode + the packed
+            drain grid in one device program (estimator.predict_decoded) —
+            one program execution and one transfer per batch instead of ~80
+            (high-latency links price each program round trip at ~20-30 ms)."""
             language_decoder = None
+            feature_matrix = None
             if per_language_decoders is not None:
                 language_decoder = per_language_decoders[language_batch[0]]
                 ctc_decoders[composition_output_name] = language_decoder.decoder
-                model_outputs = inference_estimator.predict(batch, language_decoder.feature_matrix)
-            else:
-                model_outputs = inference_estimator.predict(batch)
+                feature_matrix = language_decoder.feature_matrix
 
-            # Outputs stay on device: transposes and greedy decodes are device
-            # ops, and async dispatch overlaps them across heads — only the
-            # decoded tokens are transferred (the reference ships full
-            # emission tensors to the host first, run.py:742-806).
+            decoders_snapshot = dict(ctc_decoders)
+            if all(
+                isinstance(decoder, GreedyCTCDecoder)
+                for decoder in decoders_snapshot.values()
+            ):
+                heads = tuple(sorted(decoders_snapshot))
+                grid, _lengths = inference_estimator.predict_decoded(
+                    batch,
+                    feature_matrix,
+                    heads=heads,
+                    map_allophones=map_allophones,
+                )
+                return batch, language_batch, language_decoder, heads, ("fused", grid)
+
+            if feature_matrix is not None:
+                model_outputs = inference_estimator.predict(
+                    batch, feature_matrix, time_major=False
+                )
+            else:
+                model_outputs = inference_estimator.predict(batch, time_major=False)
+
+            # Outputs stay on device in batch-first serving layout — decoders
+            # consume it directly, so no [T, B, C] relayouts run at all (the
+            # reference transposes every head's emissions AND ships them to the
+            # host first, run.py:742-806; the time-first relayout of the two
+            # ~770-class tracks alone moves ~400 MB per batch).
             outputs = dict(model_outputs.outputs)
             if map_allophones:
                 outputs[ProjectionEntryConfig.PHONEME_LAYER] = inference_estimator.map_allophones(
-                    outputs[ProjectionEntryConfig.PHONE], batch.language_ids
+                    outputs[ProjectionEntryConfig.PHONE], batch.language_ids, time_major=False
                 )
             batch_size_now = len(batch)
             # Lengths stay on device too — np.asarray here would block the
             # host on the forward and collapse the pipeline.
             output_lengths = jnp.asarray(model_outputs.lengths)[:batch_size_now]
 
-            # Snapshot the decoder map: the per-language composition decoder
-            # mutates ``ctc_decoders`` on the NEXT launch before this batch's
-            # finish runs.
-            decoders_now = dict(ctc_decoders)
             dispatched = {}
-            for name, decoder in decoders_now.items():
-                # Estimator outputs are time-first; decoders are batch-first
-                # (reference run.py:742-806 transposes before decoding).
-                emissions = jnp.transpose(jnp.asarray(outputs[name]), (1, 0, 2))[:batch_size_now]
+            for name, decoder in decoders_snapshot.items():
+                emissions = jnp.asarray(outputs[name])[:batch_size_now]
                 dispatched[name] = decoder.dispatch(emissions, output_lengths)
-            return batch, language_batch, language_decoder, decoders_now, dispatched
+            return batch, language_batch, language_decoder, decoders_snapshot, dispatched
+
+        def token_values(name, tokens, language_decoder):
+            """Decoded token ids -> IPA / feature value strings (reference
+            run.py:778-806: IPA layers offset by the blank, attribute layers by
+            the model output start offset)."""
+            if name in ipa_layers:
+                indices = tokens - 1  # blank offset
+                if language_decoder is not None:
+                    return list(language_decoder.attributes.phoneme(indices))
+                if name == ProjectionEntryConfig.PHONE:
+                    return list(phone_indexer.phoneme(indices))
+                return list(attribute_indexer.phoneme(indices))
+            return attribute_indexer.feature_values(name, tokens - model_output_start_offset)
 
         def finish(state):
             nonlocal processed
             batch, language_batch, language_decoder, decoders_now, dispatched = state
             batch_size_now = len(batch)
-            # Transfer the (small) token results. Greedy heads are drained
-            # together through one stacked fetch (four transfers for the whole
-            # wave rather than four per head — the dominant cost on
-            # high-latency device links); beam heads collect individually.
-            greedy_collected = GreedyCTCDecoder.collect_many(
-                {
-                    name: dispatched[name]
-                    for name, decoder in decoders_now.items()
-                    if isinstance(decoder, GreedyCTCDecoder)
-                }
-            )
             prediction_batches: Dict[str, List[List[List[str]]]] = {}
-            for name, decoder in decoders_now.items():
-                beam_results = (
-                    greedy_collected[name]
-                    if name in greedy_collected
-                    else decoder.collect(dispatched[name])
-                )
-                is_ipa_layer = name in ipa_layers
-                prediction_batch = []
-                for result in range(len(beam_results)):
-                    candidates = []
-                    for beam_index in range(min(n_candidates, len(beam_results[result]))):
-                        tokens = np.asarray(beam_results[result][beam_index].tokens, dtype=np.int64)
-                        if is_ipa_layer:
-                            indices = tokens - 1  # blank offset
-                            if language_decoder is not None:
-                                actual = list(language_decoder.attributes.phoneme(indices))
-                            elif name == ProjectionEntryConfig.PHONE:
-                                actual = list(phone_indexer.phoneme(indices))
-                            else:
-                                actual = list(attribute_indexer.phoneme(indices))
-                        else:
-                            actual = attribute_indexer.feature_values(
-                                name, tokens - model_output_start_offset
+            if isinstance(dispatched, tuple) and dispatched[0] == "fused":
+                # Fused greedy path: ONE grid transfer for the whole wave.
+                heads = decoders_now  # tuple of head names in grid order
+                grid = np.asarray(dispatched[1])
+                for head_index, name in enumerate(heads):
+                    lane = grid[head_index]
+                    counts = lane[:, 0]
+                    tokens = lane[:, 1:]
+                    prediction_batches[name] = [
+                        [
+                            token_values(
+                                name,
+                                tokens[row, : counts[row]].astype(np.int64),
+                                language_decoder,
                             )
-                        candidates.append(actual)
-                    prediction_batch.append(candidates)
-                prediction_batches[name] = prediction_batch
+                        ]
+                        for row in range(batch_size_now)
+                    ]
+            else:
+                # Generic path (beam/n-best heads): greedy heads drain together
+                # through one packed fetch; beam heads collect individually.
+                greedy_collected = GreedyCTCDecoder.collect_many(
+                    {
+                        name: dispatched[name]
+                        for name, decoder in decoders_now.items()
+                        if isinstance(decoder, GreedyCTCDecoder)
+                    },
+                    # Serving drain: token values only (JSONL records carry no
+                    # timesteps).
+                    with_timesteps=False,
+                )
+                for name, decoder in decoders_now.items():
+                    beam_results = (
+                        greedy_collected[name]
+                        if name in greedy_collected
+                        else decoder.collect(dispatched[name])
+                    )
+                    prediction_batch = []
+                    for result in range(len(beam_results)):
+                        candidates = []
+                        for beam_index in range(min(n_candidates, len(beam_results[result]))):
+                            tokens = np.asarray(
+                                beam_results[result][beam_index].tokens, dtype=np.int64
+                            )
+                            candidates.append(token_values(name, tokens, language_decoder))
+                        prediction_batch.append(candidates)
+                    prediction_batches[name] = prediction_batch
 
             label_batches = batch.raw_labels
             for index in range(batch_size_now):
@@ -589,14 +632,40 @@ def predict(arguments: Namespace) -> None:
 
         # One-batch-deep software pipeline: launch batch i+1's device work
         # before finishing (draining + writing) batch i.
+        # ALLOPHANT_PREDICT_TIMING=1 prints per-batch wall times + audio
+        # seconds to stderr (steady-state RTF measurement of the production
+        # loop; tools/bench_predict_cli.py parses these lines).
+        import time
+
+        timing = os.environ.get("ALLOPHANT_PREDICT_TIMING") == "1"
+        last_mark = time.perf_counter()
         pending = None
+        pending_audio = 0.0
         for batch, language_batch in batch_generator:
             state = launch(batch, language_batch)
             if pending is not None:
                 finish(pending)
+                if timing:
+                    now = time.perf_counter()
+                    print(
+                        f"[predict-timing] batch {pending_audio:.1f} audio-s in"
+                        f" {now - last_mark:.3f}s",
+                        file=sys.stderr, flush=True,
+                    )
+                    last_mark = now
             pending = state
+            pending_audio = float(np.asarray(batch.lengths).sum()) / (
+                config.preprocessing.resample or 16_000
+            )
         if pending is not None:
             finish(pending)
+            if timing:
+                now = time.perf_counter()
+                print(
+                    f"[predict-timing] batch {pending_audio:.1f} audio-s in"
+                    f" {now - last_mark:.3f}s",
+                    file=sys.stderr, flush=True,
+                )
         progress.close()
 
 

@@ -122,27 +122,73 @@ class GreedyCTCDecoder:
         return _hypotheses_from_host(tokens, timesteps, counts, scores)
 
     @staticmethod
-    def collect_many(dispatched_by_name) -> "dict":
+    def collect_many(dispatched_by_name, with_timesteps: bool = True) -> "dict":
         """Fused ``collect`` over several dispatched heads with identical [B, T]
         result shapes (all heads decode the same encoder frames): stacks the
         components on device and transfers four arrays total, instead of four per
         head. On high-latency device links (e.g. the tunneled TPU backend, ~28 ms
-        per transfer) this turns a 4*H round-trip drain into a constant one."""
+        per transfer) this turns a 4*H round-trip drain into a constant one.
+
+        ``with_timesteps=False`` is the serving drain (the predict CLI writes
+        token values only): token ids are clamped non-negative and packed with
+        the per-row counts and bitcast score halves into ONE uint16 grid
+        [H, B, T+3], so the whole wave drains in a single transfer of half the
+        bytes (~19.5 -> ~4.9 MB at 38 heads x batch 128; the tunneled link
+        prices transfers at ~23 ms + 12 ms/MB). Hypotheses then carry empty
+        ``timesteps`` arrays."""
         names = list(dispatched_by_name)
         if not names:
             return {}
-        if len(names) == 1:
-            return {names[0]: GreedyCTCDecoder.collect(dispatched_by_name[names[0]])}
-        stacked = [
-            np.asarray(jnp.stack([dispatched_by_name[name][part] for name in names]))
-            for part in range(4)
-        ]
-        return {
-            name: _hypotheses_from_host(
-                stacked[0][head], stacked[1][head], stacked[2][head], stacked[3][head]
+        if with_timesteps:
+            if len(names) == 1:
+                return {names[0]: GreedyCTCDecoder.collect(dispatched_by_name[names[0]])}
+            stacked = [
+                np.asarray(jnp.stack([dispatched_by_name[name][part] for name in names]))
+                for part in range(4)
+            ]
+            return {
+                name: _hypotheses_from_host(
+                    stacked[0][head], stacked[1][head], stacked[2][head], stacked[3][head]
+                )
+                for head, name in enumerate(names)
+            }
+
+        lanes = []
+        for name in names:
+            tokens, _timesteps, counts, scores = dispatched_by_name[name]
+            score_bits = jax.lax.bitcast_convert_type(
+                jnp.asarray(scores, jnp.float32), jnp.uint16
             )
-            for head, name in enumerate(names)
-        }
+            lanes.append(
+                jnp.concatenate(
+                    [
+                        jnp.asarray(counts)[:, None].astype(jnp.uint16),
+                        score_bits,
+                        jnp.maximum(jnp.asarray(tokens), 0).astype(jnp.uint16),
+                    ],
+                    axis=1,
+                )
+            )
+        grid = np.asarray(jnp.stack(lanes))
+        empty_timesteps = np.zeros(0, np.int64)
+        results = {}
+        for head, name in enumerate(names):
+            lane = grid[head]
+            counts = lane[:, 0]
+            scores = np.ascontiguousarray(lane[:, 1:3]).view(np.float32).ravel()
+            tokens = lane[:, 3:]
+            results[name] = [
+                [
+                    CTCHypothesis(
+                        tokens[row, : counts[row]].astype(np.int64),
+                        [],
+                        float(scores[row]),
+                        empty_timesteps,
+                    )
+                ]
+                for row in range(lane.shape[0])
+            ]
+        return results
 
 
 def _hypotheses_from_host(

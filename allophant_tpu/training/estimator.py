@@ -262,8 +262,8 @@ class Estimator:
             audio = np.pad(audio, widths)
         return audio, np.asarray(batch.lengths), np.asarray(batch.language_ids)
 
-    def _predict_fn(self, feature_shape, log_probabilities: bool):
-        key = (feature_shape, log_probabilities)
+    def _predict_fn(self, feature_shape, log_probabilities: bool, time_major: bool = True):
+        key = (feature_shape, log_probabilities, time_major)
         cached = self._predict_cache.get(key)
         if cached is not None:
             return cached
@@ -277,8 +277,12 @@ class Estimator:
             outputs = predictions.outputs
             if log_probabilities:
                 outputs = {name: jax.nn.log_softmax(value, axis=-1) for name, value in outputs.items()}
-            # Time-first layout for reference API parity.
-            outputs = {name: jnp.transpose(value, (1, 0, 2)) for name, value in outputs.items()}
+            if time_major:
+                # Time-first layout for reference API parity. Serving callers
+                # that decode batch-first (the predict CLI) pass
+                # ``time_major=False`` and skip BOTH transposes — at batch 128
+                # the phoneme/phone tracks alone are ~200 MB each per relayout.
+                outputs = {name: jnp.transpose(value, (1, 0, 2)) for name, value in outputs.items()}
             return Predictions(outputs, predictions.lengths)
 
         if self._mesh is None:
@@ -299,20 +303,85 @@ class Estimator:
         self._predict_cache[key] = run
         return run
 
-    def predict(
+    def _decoded_fn(self, feature_shape, heads: Tuple[str, ...], with_allophone_map: bool):
+        """One fused device program: forward + every head's greedy CTC decode +
+        the packed uint16 drain grid. The serving CLI's generic path dispatches
+        ~80 separate device programs per batch (one forward, per-head decodes,
+        collect-time packing ops); on high-latency links each program execution
+        costs ~20-30 ms of round trip, which dominates the batch. Fusing keeps
+        it to ONE program plus one grid transfer."""
+        key = ("decoded", feature_shape, heads, with_allophone_map)
+        cached = self._predict_cache.get(key)
+        if cached is not None:
+            return cached
+
+        model = self.model
+
+        def run_impl(variables, audio, lengths, language_ids, target_feature_indices=None):
+            from allophant_tpu.ops.decode import greedy_decode_logits
+
+            predictions = model.apply(
+                variables, audio, lengths, language_ids, target_feature_indices, predict=True
+            )
+            outputs = dict(predictions.outputs)
+            if with_allophone_map:
+                from allophant_tpu.config import ProjectionEntryConfig
+
+                outputs[ProjectionEntryConfig.PHONEME_LAYER] = model.apply(
+                    variables,
+                    outputs[ProjectionEntryConfig.PHONE],
+                    language_ids,
+                    method="map_allophones",
+                )
+            lanes = []
+            for name in heads:
+                # Greedy argmax is invariant to log_softmax; decode raw logits.
+                tokens, _timesteps, counts, _scores = greedy_decode_logits(
+                    outputs[name], predictions.lengths
+                )
+                lanes.append(
+                    jnp.concatenate(
+                        [counts[:, None], jnp.maximum(tokens, 0)], axis=1
+                    ).astype(jnp.uint16)
+                )
+            return jnp.stack(lanes), predictions.lengths
+
+        if self._mesh is None:
+            run = jax.jit(run_impl)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from allophant_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = self._mesh
+            replicated = NamedSharding(mesh, PartitionSpec())
+            batch_sharded = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            shardings = (replicated, batch_sharded, batch_sharded, batch_sharded)
+            if feature_shape is not None:
+                shardings = shardings + (replicated,)
+            run = jax.jit(run_impl, in_shardings=shardings)
+
+        self._predict_cache[key] = run
+        return run
+
+    def predict_decoded(
         self,
         batch: Batch,
         target_feature_indices: Optional[np.ndarray] = None,
-        log_probabilities: bool = True,
-    ) -> Predictions:
-        """Inference over a batch; outputs are time-first [T, B, C] per task, matching
-        the reference decode flow (``outputs[name].transpose(1, 0)`` before decoding)."""
+        heads: Tuple[str, ...] = (),
+        map_allophones: bool = False,
+    ):
+        """Fused greedy serving step: returns (grid, lengths) DEVICE arrays
+        where ``grid`` is uint16 [H, B, T'+1] — per head ``heads[h]``, row b:
+        column 0 the decoded token count, columns 1.. the blank-free collapsed
+        token ids. Arrays stay on device so callers can pipeline batches; one
+        ``np.asarray(grid)`` drains the whole wave."""
         audio, lengths, language_ids = self._padded(batch)
         feature_shape = None
         if target_feature_indices is not None:
             target_feature_indices = jnp.asarray(np.asarray(target_feature_indices))
             feature_shape = tuple(target_feature_indices.shape)
-        run = self._predict_fn(feature_shape, log_probabilities)
+        run = self._decoded_fn(feature_shape, tuple(heads), map_allophones)
         audio, lengths, language_ids = (
             jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
         )
@@ -320,14 +389,42 @@ class Estimator:
             return run(self.variables, audio, lengths, language_ids)
         return run(self.variables, audio, lengths, language_ids, target_feature_indices)
 
-    def map_allophones(self, phone_logits, language_ids):
+    def predict(
+        self,
+        batch: Batch,
+        target_feature_indices: Optional[np.ndarray] = None,
+        log_probabilities: bool = True,
+        time_major: bool = True,
+    ) -> Predictions:
+        """Inference over a batch; outputs are time-first [T, B, C] per task, matching
+        the reference decode flow (``outputs[name].transpose(1, 0)`` before decoding).
+        ``time_major=False`` returns batch-first outputs (the serving layout the
+        device decoders consume directly)."""
+        audio, lengths, language_ids = self._padded(batch)
+        feature_shape = None
+        if target_feature_indices is not None:
+            target_feature_indices = jnp.asarray(np.asarray(target_feature_indices))
+            feature_shape = tuple(target_feature_indices.shape)
+        run = self._predict_fn(feature_shape, log_probabilities, time_major)
+        audio, lengths, language_ids = (
+            jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
+        )
+        if target_feature_indices is None:
+            return run(self.variables, audio, lengths, language_ids)
+        return run(self.variables, audio, lengths, language_ids, target_feature_indices)
+
+    def map_allophones(self, phone_logits, language_ids, time_major: bool = True):
         """Maps raw phone log-probs to per-language phoneme log-probs (time-first in,
-        time-first out, matching the reference predict flow)."""
-        batch_first = jnp.transpose(jnp.asarray(phone_logits), (1, 0, 2))
+        time-first out by default, matching the reference predict flow;
+        ``time_major=False`` takes and returns batch-first serving layout)."""
+        phone_logits = jnp.asarray(phone_logits)
+        batch_first = (
+            jnp.transpose(phone_logits, (1, 0, 2)) if time_major else phone_logits
+        )
         mapped = self.model.apply(
             self.variables, batch_first, jnp.asarray(language_ids), method="map_allophones"
         )
-        return jnp.transpose(mapped, (1, 0, 2))
+        return jnp.transpose(mapped, (1, 0, 2)) if time_major else mapped
 
     def downsampled_lengths(self, lengths):
         if isinstance(self.built.model.acoustic_config, Wav2Vec2Architecture):
@@ -457,6 +554,13 @@ class Estimator:
             )
             _check_tree_shapes(estimator.variables["params"], params)
             estimator.variables["params"] = jax.tree_util.tree_map(jnp.asarray, params)
+
+        # Commit the restored weights to the device ONCE. Checkpoint loading
+        # leaves numpy leaves in the tree, and jit re-transfers numpy arguments
+        # on EVERY call — on the tunneled TPU backend that re-uploads the full
+        # ~1.3 GB parameter set per predict batch (~20 s/batch, measured; the
+        # profile showed jit input transfer dominating the serving loop).
+        estimator.variables = jax.tree_util.tree_map(jnp.asarray, estimator.variables)
 
         estimator.epoch = checkpoint.epoch
         estimator.history = checkpoint.history

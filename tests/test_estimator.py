@@ -475,3 +475,88 @@ class TestOrbaxCheckpoint:
             np.testing.assert_allclose(np.asarray(original), np.asarray(loaded))
         loaded_checkpoint = checkpoint_module.load_checkpoint(directory)
         assert loaded_checkpoint.optimizer_state == b"opaque-optimizer-bytes"
+
+
+class TestPredictDecoded:
+    """The fused serving step (one program: forward + per-head greedy decode +
+    packed uint16 drain; estimator.predict_decoded) must reproduce the generic
+    path's decoded tokens exactly — it is the predict CLI's default greedy
+    route."""
+
+    def _build(self, phoneme_layer="shared"):
+        from allophant_tpu.models.allophant import attribute_graph_from_config
+
+        config = Config.load(mini_config_dict(phoneme_layer=phoneme_layer))
+        inventories = None
+        if phoneme_layer == "allophones":
+            inventories = LanguageInventories(
+                {0: ["a", "b", "d", "t"], 1: ["a", "t", "s"]}, ["es", "it"]
+            )
+        indexer = PhoneticAttributeIndexer.from_config(
+            config, mini_allophoible_csv(), inventories
+        )
+        estimator = Estimator.from_config(
+            config, 1, 16_000, attribute_graph_from_config(config, indexer), indexer,
+            load_pretrained_weights=False,
+        )
+        return estimator
+
+    def _batch(self, rows=3):
+        from allophant_tpu.data.batch import Batch
+
+        rng = np.random.default_rng(1)
+        audio = rng.standard_normal((rows, 1600)).astype(np.float32)
+        lengths = np.full(rows, 1600, dtype=np.int32)
+        lengths[-1] = 1100
+        return Batch(audio, lengths, np.zeros(rows, dtype=np.int32))
+
+    def test_matches_generic_greedy_decode(self):
+        from allophant_tpu.ops.decode import GreedyCTCDecoder
+
+        estimator = self._build()
+        batch = self._batch()
+        predictions = estimator.predict(batch, time_major=False)
+        heads = tuple(sorted(predictions.outputs))
+        grid, lengths = estimator.predict_decoded(batch, heads=heads)
+        grid = np.asarray(grid)
+
+        decoder = GreedyCTCDecoder()
+        frame_lengths = np.asarray(predictions.lengths)
+        for head_index, name in enumerate(heads):
+            expected = decoder(np.asarray(predictions.outputs[name]), frame_lengths)
+            lane = grid[head_index]
+            for row in range(len(batch)):
+                np.testing.assert_array_equal(
+                    lane[row, 1 : 1 + lane[row, 0]].astype(np.int64),
+                    expected[row][0].tokens,
+                    err_msg=f"head {name} row {row}",
+                )
+
+    def test_allophone_map_matches_predict_path(self):
+        estimator = self._build("allophones")
+        batch = self._batch()
+        predictions = estimator.predict(batch, time_major=False)
+        from allophant_tpu.config import ProjectionEntryConfig
+
+        mapped = estimator.map_allophones(
+            predictions.outputs[ProjectionEntryConfig.PHONE],
+            batch.language_ids,
+            time_major=False,
+        )
+        heads = (ProjectionEntryConfig.PHONEME_LAYER, ProjectionEntryConfig.PHONE)
+        grid, _lengths = estimator.predict_decoded(
+            batch, heads=heads, map_allophones=True
+        )
+        grid = np.asarray(grid)
+
+        from allophant_tpu.ops.decode import GreedyCTCDecoder
+
+        decoder = GreedyCTCDecoder()
+        expected = decoder(np.asarray(mapped), np.asarray(predictions.lengths))
+        lane = grid[0]
+        for row in range(len(batch)):
+            np.testing.assert_array_equal(
+                lane[row, 1 : 1 + lane[row, 0]].astype(np.int64),
+                expected[row][0].tokens,
+                err_msg=f"mapped phoneme row {row}",
+            )

@@ -302,6 +302,33 @@ class TestGreedyDecoder:
                     np.testing.assert_array_equal(h_fused.timesteps, h_expected.timesteps)
                     assert h_fused.score == pytest.approx(h_expected.score)
 
+    def test_collect_many_slim_serving_drain(self):
+        """with_timesteps=False (the predict CLI's drain) returns identical
+        tokens and scores through the single packed uint16 grid, with empty
+        timesteps."""
+        import jax
+        from allophant_tpu.ops.decode import GreedyCTCDecoder
+
+        rng = np.random.default_rng(2)
+        batch, time, classes = 3, 12, 6
+        decoder = GreedyCTCDecoder()
+        dispatched = {}
+        for name in ("alpha", "beta", "gamma"):
+            logits = rng.standard_normal((batch, time, classes)).astype(np.float32)
+            log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+            dispatched[name] = decoder.dispatch(log_probs, np.array([12, 7, 2]))
+        full = GreedyCTCDecoder.collect_many(dict(dispatched))
+        slim = GreedyCTCDecoder.collect_many(dict(dispatched), with_timesteps=False)
+        for name in dispatched:
+            for row in range(batch):
+                np.testing.assert_array_equal(
+                    slim[name][row][0].tokens, full[name][row][0].tokens
+                )
+                assert slim[name][row][0].score == pytest.approx(
+                    full[name][row][0].score
+                )
+                assert slim[name][row][0].timesteps.size == 0
+
     def test_collect_many_empty_and_single(self):
         decoder = GreedyCTCDecoder()
         assert GreedyCTCDecoder.collect_many({}) == {}

@@ -225,14 +225,20 @@ class TestDataParallelInference:
         batch = Batch(audio, np.full(8, 1600, dtype=np.int32), 0)
 
         single = estimator.predict(batch)
+        heads = tuple(sorted(single.outputs))
+        single_grid, _lengths = estimator.predict_decoded(batch, heads=heads)
         estimator.use_data_parallel(create_mesh(jax.devices()[:8], model_parallel=1))
         sharded = estimator.predict(batch)
+        sharded_grid, _lengths = estimator.predict_decoded(batch, heads=heads)
 
         for name in single.outputs:
             np.testing.assert_allclose(
                 np.asarray(single.outputs[name]), np.asarray(sharded.outputs[name]),
                 atol=1e-5, rtol=1e-5,
             )
+        # The fused serving grid (forward + greedy decode + packed drain in one
+        # program) must shard identically too.
+        np.testing.assert_array_equal(np.asarray(single_grid), np.asarray(sharded_grid))
 
 
 class TestBatchSharding:
