@@ -303,6 +303,59 @@ class TestLanguagePhonemesPredictCli:
             )
 
 
+class TestPredictFlagSurfaces:
+    def test_feature_subset(self, ucla_dir, saved_checkpoint, tmp_path):
+        """`predict -f phoneme,nasal` restricts decoding to the named heads
+        (reference run.py:611-618)."""
+        predictions_path = str(tmp_path / "subset.jsonl")
+        run_cli.main(
+            [
+                "predict", ucla_dir, saved_checkpoint, "--cpu", "--no-progress",
+                "-t", "ucla-phonetic", "-m", "utterances", "-s", "2",
+                "-f", "phoneme,nasal",
+                "-o", predictions_path,
+            ]
+        )
+        with open(predictions_path, "r", encoding="utf-8") as file:
+            lines = file.readlines()
+        metadata = json.loads(lines[0])
+        assert metadata["classifiers"] == ["phoneme", "nasal"]
+        entry = json.loads(lines[1])
+        assert set(entry["predictions"]) == {"phoneme", "nasal"}
+
+    def test_feature_subset_rejects_unknown(self, ucla_dir, saved_checkpoint, tmp_path):
+        with pytest.raises(ValueError, match="not a subset"):
+            run_cli.main(
+                [
+                    "predict", ucla_dir, saved_checkpoint, "--cpu", "--no-progress",
+                    "-f", "phoneme,nosuchfeature", "-o", str(tmp_path / "x.jsonl"),
+                ]
+            )
+
+    def test_gzip_round_trip_through_evaluate(self, ucla_dir, saved_checkpoint, tmp_path):
+        """`predict -c` writes gzip JSONL; `evaluate` auto-detects and consumes
+        it (reference predictions.py gzip readers/writers)."""
+        import gzip
+
+        predictions_path = str(tmp_path / "compressed.jsonl.gz")
+        run_cli.main(
+            [
+                "predict", ucla_dir, saved_checkpoint, "--cpu", "--no-progress",
+                "-t", "ucla-phonetic", "-m", "utterances", "-s", "2", "-c",
+                "-o", predictions_path,
+            ]
+        )
+        with gzip.open(predictions_path, "rt", encoding="utf-8") as file:
+            lines = file.readlines()
+        assert len(lines) == 5
+
+        results_path = str(tmp_path / "gz_results.json")
+        run_cli.main(["evaluate", predictions_path, "--no-remap", "-j", "-o", results_path])
+        with open(results_path, "r", encoding="utf-8") as file:
+            results = json.load(file)
+        assert "phoneme" in results["results"]["total"]["error_rates"]
+
+
 class TestDataCli:
     def test_stats_requires_common_voice(self, ucla_dir, capsys):
         with pytest.raises(SystemExit):
