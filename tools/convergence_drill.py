@@ -25,6 +25,8 @@ Phases:
                    final PER < 0.05
 
 Usage: JAX_PLATFORMS=cpu python tools/convergence_drill.py [--epochs 40]
+(ALLOPHANT_DRILL_TPU=1 runs the whole drill on the real chip instead —
+the production train CLI training on TPU hardware end to end)
 (~15 min on CPU; the XLA compile cache makes the second training run much
 cheaper). Recorded results live in ARCHITECTURE.md ("Convergence drill"
 section).
@@ -58,12 +60,20 @@ def run_training(
     """Runs `allophant train` as a subprocess; optionally SIGTERMs it once
     `interrupt_after_epochs` epoch checkpoints exist, then resumes with
     --restore to completion. Returns the combined stdout."""
-    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
+    # Prepend rather than replace PYTHONPATH: the axon TPU plugin lives on the
+    # inherited path (/root/.axon_site) and vanishes if overwritten.
+    env = {**os.environ}
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     args = [
         sys.executable, "-m", "allophant_tpu.cli.run", "train", corpus_root,
-        "--cpu", "--no-progress", "-j", json.dumps(config),
+        "--no-progress", "-j", json.dumps(config),
         "-a", attribute_path, "-s", save_dir, "--save-all",
     ]
+    if os.environ.get("ALLOPHANT_DRILL_TPU") != "1":
+        env["JAX_PLATFORMS"] = "cpu"
+        args.insert(4, "--cpu")
     os.makedirs(save_dir, exist_ok=True)
     output = []
 
@@ -110,10 +120,11 @@ def evaluate_checkpoint(checkpoint_path: str, corpus_root: str, work_dir: str, t
 
     predictions_path = os.path.join(work_dir, f"predictions_{tag}.jsonl")
     results_path = os.path.join(work_dir, f"results_{tag}.json")
+    predict_args = [] if os.environ.get("ALLOPHANT_DRILL_TPU") == "1" else ["--cpu"]
     run_cli.main(
         [
             "predict", corpus_root, checkpoint_path,
-            "-t", "common-voice", "--cpu", "--no-progress",
+            "-t", "common-voice", "--no-progress", *predict_args,
             "--precision", "float32",
             "-m", "utterances", "-s", "16",
             "-o", predictions_path,
@@ -132,7 +143,8 @@ def main(argv=None) -> int:
     parser.add_argument("--keep", action="store_true", help="keep the work directory")
     arguments = parser.parse_args(argv)
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if os.environ.get("ALLOPHANT_DRILL_TPU") != "1":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     work_dir = tempfile.mkdtemp(prefix="convergence_drill_")
     print(f"work dir: {work_dir}")
     corpus_root = os.path.join(work_dir, "cv")
