@@ -639,33 +639,34 @@ def predict(arguments: Namespace) -> None:
 
         timing = os.environ.get("ALLOPHANT_PREDICT_TIMING") == "1"
         last_mark = time.perf_counter()
+
+        def mark(audio_seconds: float) -> None:
+            # Format parsed by tools/bench_predict_cli.py — keep in sync.
+            nonlocal last_mark
+            if not timing:
+                return
+            now = time.perf_counter()
+            print(
+                f"[predict-timing] batch {audio_seconds:.1f} audio-s in"
+                f" {now - last_mark:.3f}s",
+                file=sys.stderr, flush=True,
+            )
+            last_mark = now
+
         pending = None
         pending_audio = 0.0
         for batch, language_batch in batch_generator:
             state = launch(batch, language_batch)
             if pending is not None:
                 finish(pending)
-                if timing:
-                    now = time.perf_counter()
-                    print(
-                        f"[predict-timing] batch {pending_audio:.1f} audio-s in"
-                        f" {now - last_mark:.3f}s",
-                        file=sys.stderr, flush=True,
-                    )
-                    last_mark = now
+                mark(pending_audio)
             pending = state
             pending_audio = float(np.asarray(batch.lengths).sum()) / (
                 config.preprocessing.resample or 16_000
             )
         if pending is not None:
             finish(pending)
-            if timing:
-                now = time.perf_counter()
-                print(
-                    f"[predict-timing] batch {pending_audio:.1f} audio-s in"
-                    f" {now - last_mark:.3f}s",
-                    file=sys.stderr, flush=True,
-                )
+            mark(pending_audio)
         progress.close()
 
 

@@ -110,6 +110,8 @@ def lz4_decompress_block(data: bytes, output_size: int) -> bytes:
                 literal_length += extra
                 if extra != 255:
                     break
+        if position + literal_length > length or out_position + literal_length > output_size:
+            raise ValueError("corrupt LZ4 block: literal run exceeds input or output")
         out[out_position : out_position + literal_length] = data[
             position : position + literal_length
         ]
@@ -119,8 +121,10 @@ def lz4_decompress_block(data: bytes, output_size: int) -> bytes:
             break  # last sequence has no match
         offset = data[position] | (data[position + 1] << 8)
         position += 2
-        if offset == 0:
-            raise ValueError("corrupt LZ4 block: zero match offset")
+        # Same malformed-input contract as the native decoder
+        # (lz4_codec.cpp: offset == 0 || offset > out -> error).
+        if offset == 0 or offset > out_position:
+            raise ValueError("corrupt LZ4 block: match offset outside decoded output")
         match_length = (token & 0xF) + 4
         if (token & 0xF) == 15:
             while True:
@@ -129,6 +133,8 @@ def lz4_decompress_block(data: bytes, output_size: int) -> bytes:
                 match_length += extra
                 if extra != 255:
                     break
+        if out_position + match_length > output_size:
+            raise ValueError("corrupt LZ4 block: match run exceeds output size")
         match_position = out_position - offset
         if offset >= match_length:
             out[out_position : out_position + match_length] = out[

@@ -327,15 +327,23 @@ class Estimator:
             if with_allophone_map:
                 from allophant_tpu.config import ProjectionEntryConfig
 
+                # Map LOG-PROBS, not raw logits: the allophone max-pool
+                # multiplies by learned per-allophone weights, so its argmax is
+                # NOT invariant to the per-frame log_softmax shift (the generic
+                # path and the reference both map log-probs —
+                # reference estimator.py:1035-1046 + run.py:755-760).
                 outputs[ProjectionEntryConfig.PHONEME_LAYER] = model.apply(
                     variables,
-                    outputs[ProjectionEntryConfig.PHONE],
+                    jax.nn.log_softmax(
+                        outputs[ProjectionEntryConfig.PHONE].astype(jnp.float32), axis=-1
+                    ),
                     language_ids,
                     method="map_allophones",
                 )
             lanes = []
             for name in heads:
-                # Greedy argmax is invariant to log_softmax; decode raw logits.
+                # Per-head greedy argmax IS invariant to log_softmax (a
+                # per-frame monotone shift), so plain heads decode raw logits.
                 tokens, _timesteps, counts, _scores = greedy_decode_logits(
                     outputs[name], predictions.lengths
                 )

@@ -534,6 +534,24 @@ class TestPredictDecoded:
 
     def test_allophone_map_matches_predict_path(self):
         estimator = self._build("allophones")
+        # Perturb the allophone matrices away from initialization: the learned
+        # max-pool weights make the mapped argmax sensitive to whether log-probs
+        # or raw logits are mapped (the fused path must map log-probs, like the
+        # generic path and the reference) — with untrained matrices the two are
+        # indistinguishable and this test would prove nothing.
+        import jax as jax_module
+
+        def perturb(tree, path=()):
+            if isinstance(tree, dict):
+                return {key: perturb(value, path + (key,)) for key, value in tree.items()}
+            if path and path[-1] == "allophone_matrices":
+                noise = jax_module.random.uniform(
+                    jax_module.random.PRNGKey(7), tree.shape, jnp.float32, 0.2, 2.0
+                )
+                return tree + noise
+            return tree
+
+        estimator.variables = perturb(estimator.variables)
         batch = self._batch()
         predictions = estimator.predict(batch, time_major=False)
         from allophant_tpu.config import ProjectionEntryConfig

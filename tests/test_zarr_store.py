@@ -47,6 +47,29 @@ class TestLz4:
         data = b"0123456789abcdef" * 400
         assert len(zs.lz4_compress_block(data)) < len(data) // 4
 
+    @pytest.mark.parametrize("use_native", [True, False])
+    def test_malformed_blocks_rejected(self, monkeypatch, use_native):
+        """Both decoders reject corrupt blocks (out-of-range match offsets,
+        literal overruns) instead of silently decoding garbage — the fallback
+        must share the native decoder's malformed-input contract."""
+        if not use_native:
+            monkeypatch.setattr(zs, "_NATIVE_LZ4", None)
+            monkeypatch.setattr(zs, "_NATIVE_LZ4_FAILED", True)
+        elif zs._native_lz4() is None:
+            pytest.skip("native decoder unavailable")
+        # Match offset 10 with only 4 bytes decoded so far.
+        bad_offset = b"\x44abcd\x0a\x00" + b"\x50tail5"
+        with pytest.raises(ValueError):
+            zs.lz4_decompress_block(bad_offset, 17)
+        # Literal run longer than the remaining input.
+        truncated_literals = b"\xf0\x20abc"
+        with pytest.raises(ValueError):
+            zs.lz4_decompress_block(truncated_literals, 100)
+        # Match run overflowing the declared output size.
+        overflow = b"\x4fabcd\x04\x00\xff\x10" + b"\x50tail5"
+        with pytest.raises(ValueError):
+            zs.lz4_decompress_block(overflow, 12)
+
     def test_native_decoder_active_and_matches_python_fallback(self, monkeypatch):
         """The C++ decoder (native/src/lz4_codec.cpp) must be in use — silent
         fallback would hide native regressions — and agree byte-for-byte with

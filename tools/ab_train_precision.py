@@ -57,7 +57,7 @@ POOL = 8  # fixed microbatches cycled round-robin
 
 def build_batches(indexer, plan_nodes, batch: int, seconds: float, seed: int):
     """POOL microbatches of synthetic audio + in-inventory labels (same
-    construction as parity_check._overfit_flagship)."""
+    construction as parity_check._overfit_flagship_iter)."""
     rng = np.random.default_rng(seed)
     samples = int(16_000 * seconds)
     label_length = 30

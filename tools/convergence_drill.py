@@ -94,8 +94,14 @@ def run_training(
         else:
             process.kill()
             raise TimeoutError("training never reached the interrupt point")
-        if process.poll() is None:
-            process.send_signal(signal.SIGTERM)
+        if process.poll() is not None:
+            process.communicate(timeout=timeout)
+            raise RuntimeError(
+                f"training finished (rc {process.returncode}) before reaching"
+                f" {interrupt_after_epochs} epoch checkpoints — nothing to interrupt;"
+                " lower --interrupt-after relative to --epochs"
+            )
+        process.send_signal(signal.SIGTERM)
         out, _ = process.communicate(timeout=timeout)
         output.append(out)
         assert process.returncode == 0, f"interrupted train exited {process.returncode}:\n{out[-2000:]}"

@@ -198,18 +198,6 @@ def check_fullsize(seconds: float = 2.0, tolerance: float = 5e-3) -> int:
     return status
 
 
-def _overfit_flagship(steps: int, batch: int, seconds: float, seed: int):
-    """Briefly overfits the flagship on one fixed synthetic batch and returns the
-    trained params plus that batch — logits become confidently separated on it,
-    the regime real serving operates in (published CTC models emit near-one-hot
-    frame posteriors). Training runs the production bf16+remat step; measurement
-    afterwards uses whatever compute path the caller builds with these params."""
-    for result in _overfit_flagship_iter([steps], batch, seconds, seed):
-        pass
-    _steps, params, variables, batch_data, labels = result
-    return params, variables, batch_data, labels
-
-
 def _overfit_flagship_iter(checkpoints, batch: int, seconds: float, seed: int):
     """Trains the flagship on one fixed synthetic batch, yielding
     ``(step_count, params, variables, (audio, lengths, language_ids), labels)``
