@@ -163,23 +163,34 @@ def main() -> None:
         parents, emitted, scores = beam_search_device(
             log_probs, predictions.lengths, beam_width=BEAM_WIDTH
         )
-        # Device backtrace + device score ordering: the drained token grid's
-        # beams arrive best-first, so scores never transfer and the host-side
-        # reconstruction loop disappears entirely (0.5 MB int16 per batch).
+        # Device backtrace + device score ordering: the drained beams arrive
+        # best-first, so scores never transfer and the host-side
+        # reconstruction loop disappears entirely. The K beam tracks ride the
+        # SAME lane grid as the attribute heads (token sentinel 0xFFFF = no
+        # emission at that frame), so the whole beam batch drains in ONE
+        # transfer like the greedy loop.
         collected = backtrace_beams_device(parents, emitted, predictions.lengths)
         order = jnp.argsort(-scores, axis=1)
         collected = jnp.take_along_axis(collected, order[None, :, :], axis=2)
-        return pack_lanes(decoded, attribute_names), collected.astype(jnp.int16)
+        grid = pack_lanes(decoded, attribute_names)
+        time_columns = grid.shape[2] - 2
+        beam_lanes = jnp.transpose(collected, (2, 1, 0)).astype(jnp.uint16)  # [K, B, T]
+        beam_lanes = jnp.pad(
+            beam_lanes,
+            ((0, 0), (0, 0), (2, time_columns - beam_lanes.shape[2])),
+            constant_values=0xFFFF,
+        )
+        return jnp.concatenate([grid, beam_lanes], axis=0)
 
-    def n_best_beams(collected):
+    def n_best_beams(beam_lanes):
         """Per row the n-best token lists, best-first (beams pre-sorted on
-        device by score)."""
+        device by score; 0xFFFF = no emission)."""
         results = []
-        for row in range(collected.shape[1]):
+        for row in range(beam_lanes.shape[1]):
             n_best = []
             for beam in range(N_BEST):
-                sequence = collected[:, row, beam]
-                n_best.append(sequence[sequence >= 0].tolist())
+                sequence = beam_lanes[beam, row, 2:]
+                n_best.append(sequence[sequence != 0xFFFF].tolist())
             results.append(n_best)
         return results
 
@@ -272,11 +283,11 @@ def main() -> None:
             for _ in range(num_batches)
         ]
         with open(os.devnull, "w", encoding="utf-8") as sink:
-            for grid, collected in results:
-                # TWO transfers per batch: the attribute lane grid and the
-                # best-first beam token grid.
-                decoded = unpack_lanes(np.asarray(grid), attribute_names)
-                n_best = n_best_beams(np.asarray(collected).astype(np.int64))
+            for full_grid in results:
+                # ONE transfer per batch: attribute lanes + beam lanes together.
+                full_grid = np.asarray(full_grid)
+                decoded = unpack_lanes(full_grid[:-BEAM_WIDTH], attribute_names)
+                n_best = n_best_beams(full_grid[-BEAM_WIDTH:].astype(np.int64))
                 for row in range(batch):
                     record = {
                         "language": "es",
