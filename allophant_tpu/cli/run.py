@@ -588,7 +588,10 @@ def predict(arguments: Namespace) -> None:
                     ]
             else:
                 # Generic path (beam/n-best heads): greedy heads drain together
-                # through one packed fetch; beam heads collect individually.
+                # through one packed fetch; beam heads drain together through a
+                # stacked grid fetch (two transfers for the whole beam wave).
+                from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
                 greedy_collected = GreedyCTCDecoder.collect_many(
                     {
                         name: dispatched[name]
@@ -599,12 +602,21 @@ def predict(arguments: Namespace) -> None:
                     # timesteps).
                     with_timesteps=False,
                 )
+                beam_decoders = {
+                    name: decoder
+                    for name, decoder in decoders_now.items()
+                    if isinstance(decoder, DeviceBeamCTCDecoder)
+                }
+                beam_collected = DeviceBeamCTCDecoder.collect_many(
+                    {name: dispatched[name] for name in beam_decoders}, beam_decoders
+                )
                 for name, decoder in decoders_now.items():
-                    beam_results = (
-                        greedy_collected[name]
-                        if name in greedy_collected
-                        else decoder.collect(dispatched[name])
-                    )
+                    if name in greedy_collected:
+                        beam_results = greedy_collected[name]
+                    elif name in beam_collected:
+                        beam_results = beam_collected[name]
+                    else:
+                        beam_results = decoder.collect(dispatched[name])
                     prediction_batch = []
                     for result in range(len(beam_results)):
                         candidates = []

@@ -476,6 +476,37 @@ class TestDeviceBeamDecoder:
             assert result.tokens.tolist() == [1]
             assert result.timesteps.tolist() == [1]
 
+    def test_beam_collect_many_matches_per_head_collect(self):
+        """DeviceBeamCTCDecoder.collect_many (two stacked transfers for the
+        whole beam wave, the `predict -b N` drain) reproduces per-head collect
+        exactly — tokens, scores, timesteps, dead-beam filtering."""
+        import jax
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        rng = np.random.default_rng(9)
+        batch, time, classes = 4, 18, 6
+        lengths = np.array([18, 12, 5, 2])
+        decoders = {}
+        dispatched = {}
+        for name in ("alpha", "beta", "gamma"):
+            logits = rng.standard_normal((batch, time, classes)).astype(np.float32)
+            log_probs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+            decoder = DeviceBeamCTCDecoder(
+                [str(i) for i in range(classes)], beam_width=4, n_best=3
+            )
+            decoders[name] = decoder
+            dispatched[name] = decoder.dispatch(log_probs, lengths)
+        fused = DeviceBeamCTCDecoder.collect_many(dict(dispatched), decoders)
+        for name, decoder in decoders.items():
+            expected = decoder.collect(dispatched[name])
+            assert len(fused[name]) == len(expected)
+            for row_fused, row_expected in zip(fused[name], expected):
+                assert len(row_fused) == len(row_expected)
+                for h_fused, h_expected in zip(row_fused, row_expected):
+                    np.testing.assert_array_equal(h_fused.tokens, h_expected.tokens)
+                    np.testing.assert_array_equal(h_fused.timesteps, h_expected.timesteps)
+                    assert h_fused.score == pytest.approx(h_expected.score)
+
     def test_device_backtrace_matches_host(self):
         """backtrace_beams_device (reverse lax.scan, the production collect
         path) reproduces the host backtrace_beams token grid exactly on random
