@@ -70,7 +70,9 @@ def write_ucla_corpus(root: str, inventories: dict, utterances_per_language: int
 
 
 def main() -> int:
-    utterances = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    positional = [arg for arg in sys.argv[1:] if not arg.startswith("--")]
+    utterances = int(positional[0]) if positional else 128
+    beam = "--beam" in sys.argv  # predict -b 4 -n 2 (all heads beam-decoded)
     import jax
 
     from allophant_tpu.cli import run as run_cli
@@ -130,6 +132,7 @@ def main() -> int:
                 "predict", corpus, checkpoint_path,
                 "-t", "ucla-phonetic", "--no-progress",
                 "-m", "utterances", "-s", str(BATCH),
+                *((["-b", "4", "-n", "2"]) if beam else []),
                 "-o", output,
             ]
         )
@@ -158,7 +161,7 @@ def main() -> int:
         file=sys.stderr, flush=True,
     )
     result = {
-        "metric": "predict_cli_rtf",
+        "metric": "predict_cli_beam_rtf" if beam else "predict_cli_rtf",
         "value": round(steady_rtf, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(steady_rtf / 50.0, 3),
