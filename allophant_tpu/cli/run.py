@@ -15,7 +15,7 @@ import sys
 import tomllib
 from argparse import ArgumentParser, FileType, Namespace
 from enum import Enum
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tuple
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -522,6 +522,35 @@ def predict(arguments: Namespace) -> None:
                 )
                 return batch, language_batch, language_decoder, heads, ("fused", grid)
 
+            from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+            beam_widths = {
+                decoder._beam_width
+                for decoder in decoders_snapshot.values()
+                if isinstance(decoder, DeviceBeamCTCDecoder)
+            }
+            if len(beam_widths) == 1 and all(
+                isinstance(decoder, DeviceBeamCTCDecoder)
+                for decoder in decoders_snapshot.values()
+            ):
+                # All-beam serving (`predict -b N`): one fused program runs the
+                # forward + every head's beam search + backtrace on device.
+                heads = tuple(sorted(decoders_snapshot))
+                fused = inference_estimator.predict_beam_decoded(
+                    batch,
+                    feature_matrix,
+                    heads=heads,
+                    beam_width=beam_widths.pop(),
+                    map_allophones=map_allophones,
+                )
+                return (
+                    batch,
+                    language_batch,
+                    language_decoder,
+                    (heads, decoders_snapshot),
+                    ("fused_beam",) + tuple(fused),
+                )
+
             if feature_matrix is not None:
                 model_outputs = inference_estimator.predict(
                     batch, feature_matrix, time_major=False
@@ -586,10 +615,24 @@ def predict(arguments: Namespace) -> None:
                         ]
                         for row in range(batch_size_now)
                     ]
+            elif isinstance(dispatched, tuple) and dispatched[0] == "fused_beam":
+                # Fused beam path: every head's search + backtrace ran in ONE
+                # device program (estimator.predict_beam_decoded); the whole
+                # wave drains in two transfers here.
+                heads, decoders_now = decoders_now
+                collected = np.asarray(dispatched[1]).astype(np.int64)
+                scores = np.asarray(dispatched[2])
+                greedy_collected: Dict[str, Any] = {}
+                beam_collected = {
+                    name: decoders_now[name]._assemble(
+                        collected[head_index], scores[head_index]
+                    )
+                    for head_index, name in enumerate(heads)
+                }
             else:
-                # Generic path (beam/n-best heads): greedy heads drain together
-                # through one packed fetch; beam heads drain together through a
-                # stacked grid fetch (two transfers for the whole beam wave).
+                # Generic path (mixed greedy/beam heads): greedy heads drain
+                # together through one packed fetch; beam heads drain together
+                # through a stacked grid fetch (two transfers for the beam wave).
                 from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
 
                 greedy_collected = GreedyCTCDecoder.collect_many(
@@ -610,6 +653,7 @@ def predict(arguments: Namespace) -> None:
                 beam_collected = DeviceBeamCTCDecoder.collect_many(
                     {name: dispatched[name] for name in beam_decoders}, beam_decoders
                 )
+            if not prediction_batches:
                 for name, decoder in decoders_now.items():
                     if name in greedy_collected:
                         beam_results = greedy_collected[name]

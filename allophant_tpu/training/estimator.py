@@ -49,6 +49,33 @@ def _bucket_length(length: int, minimum: int = 1024) -> int:
     return ((length + step - 1) // step) * step
 
 
+def _pack_audio_for_upload(audio: np.ndarray) -> np.ndarray:
+    """Halves the host->device audio transfer when it is lossless to do so.
+
+    Raw 16-bit sources reach the model as float32 ``i / 32768`` (data/audio.py:55),
+    so the serving path re-packs them to int16 on the host and dequantizes on
+    device — exact, because int16->f32 conversion is exact and 2^-15 is a
+    power-of-two scale. On high-latency serving links the waveform upload is
+    the dominant per-batch cost (batch 128 x 10 s = 82 MB as f32, 41 MB as
+    int16). Anything not exactly int16-representable (resampled audio, float
+    WAV sources, feature-frontend inputs) uploads unchanged.
+    """
+    if audio.ndim != 2 or audio.dtype != np.float32:
+        return audio
+    scaled = audio * 32768.0
+    packed = scaled.astype(np.int16)
+    if np.array_equal(scaled, packed):
+        return packed
+    return audio
+
+
+def _unpack_audio_on_device(audio):
+    """Inverse of `_pack_audio_for_upload`, traced inside the serving jits."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) * (1.0 / 32768.0)
+    return audio
+
+
 def infer_wav2vec2_architecture(model_state: Dict[str, np.ndarray]) -> Wav2Vec2Architecture:
     """Infers the encoder architecture from a reference checkpoint's state dict
     (hidden size, depth, conv stack, norm mode) — checkpoints store only the HF model
@@ -271,6 +298,7 @@ class Estimator:
         model = self.model
 
         def run_impl(variables, audio, lengths, language_ids, target_feature_indices=None):
+            audio = _unpack_audio_on_device(audio)
             predictions = model.apply(
                 variables, audio, lengths, language_ids, target_feature_indices, predict=True
             )
@@ -320,6 +348,7 @@ class Estimator:
         def run_impl(variables, audio, lengths, language_ids, target_feature_indices=None):
             from allophant_tpu.ops.decode import greedy_decode_logits
 
+            audio = _unpack_audio_on_device(audio)
             predictions = model.apply(
                 variables, audio, lengths, language_ids, target_feature_indices, predict=True
             )
@@ -372,6 +401,109 @@ class Estimator:
         self._predict_cache[key] = run
         return run
 
+    def _beam_decoded_fn(
+        self, feature_shape, heads: Tuple[str, ...], with_allophone_map: bool,
+        beam_width: int,
+    ):
+        """One fused device program for beam-mode serving: forward + per-head
+        log_softmax + the device beam search + device backtrace for EVERY head,
+        returning stacked grids. The generic path dispatches ~2 device programs
+        per head (search + backtrace) plus collect-time stacking — ~80 program
+        executions per batch for the reference-semantics ``predict -b`` over
+        all 38 heads; on high-latency links each round trip costs ~20-30 ms.
+        Fused: ONE program, and the whole wave drains in two transfers."""
+        key = ("beam_decoded", feature_shape, heads, with_allophone_map, beam_width)
+        cached = self._predict_cache.get(key)
+        if cached is not None:
+            return cached
+
+        model = self.model
+
+        def run_impl(variables, audio, lengths, language_ids, target_feature_indices=None):
+            from allophant_tpu.ops.decode import backtrace_beams_device, beam_search_device
+
+            audio = _unpack_audio_on_device(audio)
+            predictions = model.apply(
+                variables, audio, lengths, language_ids, target_feature_indices, predict=True
+            )
+            # Beam scores are reported in the JSONL n-best records, so every
+            # head decodes LOG-PROBS like the generic predict path
+            # (log_probabilities=True) — rankings are shift-invariant but the
+            # reported scores are not.
+            outputs = {
+                name: jax.nn.log_softmax(value.astype(jnp.float32), axis=-1)
+                for name, value in predictions.outputs.items()
+            }
+            if with_allophone_map:
+                from allophant_tpu.config import ProjectionEntryConfig
+
+                outputs[ProjectionEntryConfig.PHONEME_LAYER] = model.apply(
+                    variables,
+                    outputs[ProjectionEntryConfig.PHONE],
+                    language_ids,
+                    method="map_allophones",
+                )
+            collected_stack = []
+            score_stack = []
+            for name in heads:
+                parents, emitted, scores = beam_search_device(
+                    outputs[name], predictions.lengths, beam_width, 0
+                )
+                collected = backtrace_beams_device(parents, emitted, predictions.lengths)
+                collected_stack.append(collected.astype(jnp.int16))
+                score_stack.append(scores)
+            return (
+                jnp.stack(collected_stack),
+                jnp.stack(score_stack),
+                predictions.lengths,
+            )
+
+        if self._mesh is None:
+            run = jax.jit(run_impl)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from allophant_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = self._mesh
+            replicated = NamedSharding(mesh, PartitionSpec())
+            batch_sharded = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            shardings = (replicated, batch_sharded, batch_sharded, batch_sharded)
+            if feature_shape is not None:
+                shardings = shardings + (replicated,)
+            run = jax.jit(run_impl, in_shardings=shardings)
+        self._predict_cache[key] = run
+        return run
+
+    def predict_beam_decoded(
+        self,
+        batch: Batch,
+        target_feature_indices: Optional[np.ndarray] = None,
+        heads: Tuple[str, ...] = (),
+        beam_width: int = 4,
+        map_allophones: bool = False,
+    ):
+        """Fused beam serving step: returns DEVICE arrays ``(collected, scores,
+        lengths)`` where ``collected`` is int16 [H, T, B, K] (token emitted at
+        step t by beam k of row b for head ``heads[h]``, -1 = none — the
+        :func:`backtrace_beams_device` layout) and ``scores`` is f32 [H, B, K].
+        Arrays stay on device so callers can pipeline; two ``np.asarray`` calls
+        drain the whole wave."""
+        audio, lengths, language_ids = self._padded(batch)
+        feature_shape = None
+        if target_feature_indices is not None:
+            target_feature_indices = jnp.asarray(np.asarray(target_feature_indices))
+            feature_shape = tuple(target_feature_indices.shape)
+        run = self._beam_decoded_fn(feature_shape, tuple(heads), map_allophones, beam_width)
+        audio, lengths, language_ids = (
+            jnp.asarray(_pack_audio_for_upload(audio)),
+            jnp.asarray(lengths),
+            jnp.asarray(language_ids),
+        )
+        if target_feature_indices is None:
+            return run(self.variables, audio, lengths, language_ids)
+        return run(self.variables, audio, lengths, language_ids, target_feature_indices)
+
     def predict_decoded(
         self,
         batch: Batch,
@@ -391,7 +523,9 @@ class Estimator:
             feature_shape = tuple(target_feature_indices.shape)
         run = self._decoded_fn(feature_shape, tuple(heads), map_allophones)
         audio, lengths, language_ids = (
-            jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
+            jnp.asarray(_pack_audio_for_upload(audio)),
+            jnp.asarray(lengths),
+            jnp.asarray(language_ids),
         )
         if target_feature_indices is None:
             return run(self.variables, audio, lengths, language_ids)
@@ -415,7 +549,9 @@ class Estimator:
             feature_shape = tuple(target_feature_indices.shape)
         run = self._predict_fn(feature_shape, log_probabilities, time_major)
         audio, lengths, language_ids = (
-            jnp.asarray(audio), jnp.asarray(lengths), jnp.asarray(language_ids)
+            jnp.asarray(_pack_audio_for_upload(audio)),
+            jnp.asarray(lengths),
+            jnp.asarray(language_ids),
         )
         if target_feature_indices is None:
             return run(self.variables, audio, lengths, language_ids)

@@ -532,6 +532,44 @@ class TestPredictDecoded:
                     err_msg=f"head {name} row {row}",
                 )
 
+    def test_int16_upload_packing_is_bit_exact(self, monkeypatch):
+        """The serving upload halves its bytes by re-packing 16-bit-sourced
+        audio (f32 ``i / 32768``, data/audio.py:55) to int16 and dequantizing
+        on device. The packed route must be BIT-identical to the f32 upload —
+        int16->f32 conversion is exact and 2^-15 is a power-of-two scale."""
+        from allophant_tpu.training import estimator as estimator_module
+
+        estimator = self._build()
+        rng = np.random.default_rng(3)
+        rows = 3
+        ints = rng.integers(-32768, 32768, size=(rows, 1600), dtype=np.int16)
+        audio = ints.astype(np.float32) / 32768.0
+        lengths = np.full(rows, 1600, dtype=np.int32)
+        lengths[-1] = 900
+        batch = Batch(audio, lengths, np.zeros(rows, dtype=np.int32))
+
+        packed = estimator_module._pack_audio_for_upload(audio)
+        assert packed.dtype == np.int16
+        np.testing.assert_array_equal(packed, ints)
+        # Not exactly representable (resampled/float sources) -> unchanged f32.
+        loose = audio + np.float32(1e-6)
+        assert estimator_module._pack_audio_for_upload(loose) is loose
+
+        out_packed = estimator.predict(batch, time_major=False)
+        heads = tuple(sorted(out_packed.outputs))
+        grid_packed = np.asarray(estimator.predict_decoded(batch, heads=heads)[0])
+
+        monkeypatch.setattr(
+            estimator_module, "_pack_audio_for_upload", lambda value: value
+        )
+        out_f32 = estimator.predict(batch, time_major=False)
+        grid_f32 = np.asarray(estimator.predict_decoded(batch, heads=heads)[0])
+        np.testing.assert_array_equal(grid_packed, grid_f32)
+        for name in out_packed.outputs:
+            np.testing.assert_array_equal(
+                np.asarray(out_packed.outputs[name]), np.asarray(out_f32.outputs[name])
+            )
+
     def test_allophone_map_matches_predict_path(self):
         estimator = self._build("allophones")
         # Perturb the allophone matrices away from initialization: the learned
