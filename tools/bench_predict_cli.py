@@ -126,7 +126,15 @@ def main() -> int:
         def flush(self):
             sys.__stderr__.flush()
 
+    profile = "--profile" in sys.argv  # cProfile the predict loop, top-40 cumulative
+    profiler = None
+    if profile:
+        import cProfile
+
+        profiler = cProfile.Profile()
     with contextlib.redirect_stderr(_Tee()):
+        if profiler is not None:
+            profiler.enable()
         run_cli.main(
             [
                 "predict", corpus, checkpoint_path,
@@ -136,7 +144,14 @@ def main() -> int:
                 "-o", output,
             ]
         )
+        if profiler is not None:
+            profiler.disable()
     elapsed = time.perf_counter() - start
+    if profiler is not None:
+        import pstats
+
+        stats = pstats.Stats(profiler, stream=sys.stderr)
+        stats.sort_stats("cumulative").print_stats(40)
     del os.environ["ALLOPHANT_PREDICT_TIMING"]
 
     with open(output, "r", encoding="utf-8") as file:
