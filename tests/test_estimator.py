@@ -570,6 +570,85 @@ class TestPredictDecoded:
                 np.asarray(out_packed.outputs[name]), np.asarray(out_f32.outputs[name])
             )
 
+    def test_fused_beam_matches_generic_beam_decode(self):
+        """predict_beam_decoded (one program: forward + every head's beam
+        search + backtrace) must reproduce the generic per-head
+        DeviceBeamCTCDecoder path exactly — it is the predict CLI's
+        ``-b N`` route."""
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        estimator = self._build()
+        batch = self._batch()
+        predictions = estimator.predict(batch, time_major=False)
+        heads = tuple(sorted(predictions.outputs))
+        collected, scores, _lengths = estimator.predict_beam_decoded(
+            batch, heads=heads, beam_width=4
+        )
+        collected = np.asarray(collected).astype(np.int64)
+        scores = np.asarray(scores)
+
+        decoder = DeviceBeamCTCDecoder([], 4, 2)
+        for head_index, name in enumerate(heads):
+            expected = decoder.collect(
+                decoder.dispatch(predictions.outputs[name], predictions.lengths)
+            )
+            got = decoder._assemble(collected[head_index], scores[head_index])
+            for row in range(len(batch)):
+                assert len(got[row]) == len(expected[row]), (name, row)
+                for k in range(len(expected[row])):
+                    np.testing.assert_array_equal(
+                        got[row][k].tokens, expected[row][k].tokens,
+                        err_msg=f"head {name} row {row} beam {k}",
+                    )
+                    np.testing.assert_allclose(
+                        got[row][k].score, expected[row][k].score, rtol=1e-5
+                    )
+
+    def test_fused_beam_allophone_map_matches_generic(self):
+        """Fused beam with the allophone map (the CLI's ``-b
+        --language-phonemes`` combination) must decode the MAPPED log-probs
+        for the phoneme head, like the generic path (reference
+        estimator.py:1035-1046 + run.py:755-760)."""
+        from allophant_tpu.config import ProjectionEntryConfig
+        from allophant_tpu.ops.decode import DeviceBeamCTCDecoder
+
+        estimator = self._build("allophones")
+        import jax as jax_module
+
+        def perturb(tree, path=()):
+            if isinstance(tree, dict):
+                return {key: perturb(value, path + (key,)) for key, value in tree.items()}
+            if path and path[-1] == "allophone_matrices":
+                noise = jax_module.random.uniform(
+                    jax_module.random.PRNGKey(11), tree.shape, jnp.float32, 0.2, 2.0
+                )
+                return tree + noise
+            return tree
+
+        estimator.variables = perturb(estimator.variables)
+        batch = self._batch()
+        predictions = estimator.predict(batch, time_major=False)
+        mapped = estimator.map_allophones(
+            predictions.outputs[ProjectionEntryConfig.PHONE],
+            batch.language_ids,
+            time_major=False,
+        )
+        heads = (ProjectionEntryConfig.PHONEME_LAYER, ProjectionEntryConfig.PHONE)
+        collected, scores, _lengths = estimator.predict_beam_decoded(
+            batch, heads=heads, beam_width=4, map_allophones=True
+        )
+        collected = np.asarray(collected).astype(np.int64)
+        scores = np.asarray(scores)
+
+        decoder = DeviceBeamCTCDecoder([], 4, 2)
+        expected = decoder.collect(decoder.dispatch(mapped, predictions.lengths))
+        got = decoder._assemble(collected[0], scores[0])
+        for row in range(len(batch)):
+            np.testing.assert_array_equal(
+                got[row][0].tokens, expected[row][0].tokens,
+                err_msg=f"mapped phoneme row {row}",
+            )
+
     def test_allophone_map_matches_predict_path(self):
         estimator = self._build("allophones")
         # Perturb the allophone matrices away from initialization: the learned
